@@ -1,0 +1,208 @@
+"""TPU-native vectorizable Taxi / PO-Taxi.
+
+Re-expresses the reference ``TaxiVecEnv`` (reference
+``gym_po/envs/extended_taxi.py:149-377``) as a pure-functional JAX environment.
+The entire per-step dynamics reduce to two int32 gathers from compiled tables
+(:mod:`gym_po_tpu.maps.taxi_maps`) plus a handful of elementwise ops — there is
+no geometry at runtime.
+
+The dynamics are factored into deterministic stages (``advance``,
+``apply_task_reset``, ``apply_full_reset``) that take all randomness as
+explicit arguments.  ``step_env`` composes them with counter-based
+``jax.random`` draws (perf mode); the parity harness composes the same jitted
+stages with draws mirrored bit-exactly from the reference's NumPy
+``Generator`` consumption order (see ``gym_po_tpu/compat/parity.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import Discrete, Environment, EnvState
+from ..maps.taxi_maps import (
+    EV_BAD,
+    EV_GOAL,
+    NUM_ACTIONS,
+    TAXI_MAP,
+    EXTENDED_TAXI_MAP,
+    TaxiTables,
+    compile_taxi_map,
+)
+
+__all__ = ["Taxi", "TaxiState", "TAXI_MAP", "EXTENDED_TAXI_MAP"]
+
+
+class TaxiState(EnvState):
+    s: jax.Array  # int32 encoded (taxi row, taxi col, passenger, destination)
+    completed: jax.Array  # int32 dropoffs completed this episode
+
+
+def _decode(s: jax.Array, cols: int, nlocs: int):
+    """Reference extended_taxi.py:84-94, in jnp."""
+    d = s % nlocs
+    tmp = s // nlocs
+    p = tmp % (nlocs + 1)
+    tmp = tmp // (nlocs + 1)
+    return tmp // cols, tmp % cols, p, d
+
+
+def _encode(r, c, p, d, cols: int, nlocs: int):
+    """Reference extended_taxi.py:97-99, in jnp."""
+    return ((r * cols + c) * (nlocs + 1) + p) * nlocs + d
+
+
+class Taxi(Environment[TaxiState]):
+    """Taxi / Hansen-PO-Taxi on 5x5 or extended 8x8 maps.
+
+    Args mirror the reference constructor (reference extended_taxi.py:158-169)
+    minus ``num_envs`` (batching is external via vmap) and ``render_mode``
+    (rendering is a host-side pure function of state, see
+    :mod:`gym_po_tpu.render`).
+    """
+
+    def __init__(
+        self,
+        map: Sequence[str] = TAXI_MAP,
+        hansen_obs: bool = False,
+        num_passengers: int = 1,
+        time_limit: int = 200,
+        reward_goal: float = 1.0,
+        reward_bad: float = -0.5,
+        reward_any: float = -0.05,
+    ):
+        self.tables: TaxiTables = compile_taxi_map(map)
+        t = self.tables
+        self.name = "HansenTaxi-v4" if hansen_obs else "Taxi-v4"
+        self.hansen = bool(hansen_obs)
+        self.num_passengers = int(num_passengers)
+        self.time_limit = int(time_limit)
+        self.reward_goal = float(reward_goal)
+        self.reward_bad = float(reward_bad)
+        self.reward_any = float(reward_any)
+        self.cols = t.cols
+        self.nlocs = t.nlocs
+
+        # Device constants (embedded into the jitted executable).
+        self._next_s = jnp.asarray(t.next_s)
+        self._event = jnp.asarray(t.event)
+        self._valid_init = jnp.asarray(t.valid_init)
+        self._hansen_obs = jnp.asarray(t.hansen_obs)
+
+        self._obs_n = t.n_hansen_obs if hansen_obs else t.ns
+        self._action_space = Discrete(NUM_ACTIONS)
+        self._observation_space = Discrete(self._obs_n)
+
+    # ---------------------------------------------------------------- spaces
+    @property
+    def action_space(self) -> Discrete:
+        return self._action_space
+
+    @property
+    def observation_space(self) -> Discrete:
+        return self._observation_space
+
+    # ------------------------------------------------- deterministic stages
+    def advance(
+        self, state: TaxiState, action: jax.Array
+    ) -> Tuple[TaxiState, jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Stage A: deterministic transition (reference extended_taxi.py:244-281).
+
+        Returns (mid_state, reward, done, truncated, task_completed).
+        """
+        elapsed = state.elapsed + 1
+        s2 = self._next_s[state.s, action]
+        ev = self._event[state.s, action]
+        goal = ev == EV_GOAL
+        completed = state.completed + goal.astype(jnp.int32)
+        rew = jnp.where(
+            goal,
+            jnp.float32(self.reward_goal),
+            jnp.where(ev == EV_BAD, jnp.float32(self.reward_bad), jnp.float32(self.reward_any)),
+        )
+        done = completed == self.num_passengers
+        trunc = elapsed > self.time_limit  # strict >, reference :279
+        task_completed = goal & ~(done | trunc)  # reference :282
+        return (
+            state.replace(s=s2, completed=completed, elapsed=elapsed),
+            rew,
+            done,
+            trunc,
+            task_completed,
+        )
+
+    def apply_task_reset(
+        self, state: TaxiState, mask: jax.Array, p_new: jax.Array, d_new: jax.Array
+    ) -> TaxiState:
+        """Stage B1: re-place passenger & destination, keep taxi position
+        (reference extended_taxi.py:354-364)."""
+        r, c, p, d = _decode(state.s, self.cols, self.nlocs)
+        s_task = _encode(r, c, p_new, d_new, self.cols, self.nlocs)
+        return state.replace(s=jnp.where(mask, s_task, state.s))
+
+    def apply_full_reset(
+        self, state: TaxiState, mask: jax.Array, s_new: jax.Array
+    ) -> TaxiState:
+        """Stage B2: masked full episode reset (reference extended_taxi.py:344-352)."""
+        z = jnp.zeros((), jnp.int32)
+        return state.replace(
+            s=jnp.where(mask, s_new, state.s),
+            elapsed=jnp.where(mask, z, state.elapsed),
+            completed=jnp.where(mask, z, state.completed),
+        )
+
+    def observe(self, state: TaxiState) -> jax.Array:
+        """Full state id, or Hansen-coded partial obs (reference :366-372)."""
+        if self.hansen:
+            return self._hansen_obs[state.s]
+        return state.s
+
+    # ------------------------------------------------------- random sampling
+    def sample_init_state(self, key: jax.Array) -> jax.Array:
+        """Uniform over valid initial states.
+
+        NOTE: the reference samples via ``multinomial(ns, dist, b).argmax(-1)``
+        (reference :348-350), which is asymptotically uniform over valid states
+        but has a first-index tie-break bias.  Perf mode uses a true uniform
+        gather; parity mode feeds the exact reference draw into
+        ``apply_full_reset`` instead.
+        """
+        idx = jax.random.randint(key, (), 0, self._valid_init.shape[0])
+        return self._valid_init[idx]
+
+    def sample_passenger_destination(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """p uniform over nlocs, d uniform over nlocs-1 excluding p — the
+        rejection-free equivalent of reference :360-363."""
+        kp, kd = jax.random.split(key)
+        p = jax.random.randint(kp, (), 0, self.nlocs)
+        d0 = jax.random.randint(kd, (), 0, self.nlocs - 1)
+        return p, d0 + (d0 >= p)
+
+    # -------------------------------------------------------------- protocol
+    def reset_env(self, key: jax.Array) -> Tuple[jax.Array, TaxiState]:
+        s = self.sample_init_state(key)
+        state = TaxiState(
+            elapsed=jnp.zeros((), jnp.int32),
+            s=s.astype(jnp.int32),
+            completed=jnp.zeros((), jnp.int32),
+        )
+        return self.observe(state), state
+
+    def step_env(
+        self, key: jax.Array, state: TaxiState, action: jax.Array
+    ) -> Tuple[jax.Array, TaxiState, jax.Array, jax.Array, jax.Array, Dict[str, Any]]:
+        k_task, k_reset = jax.random.split(key)
+        mid, rew, done, trunc, task = self.advance(state, action)
+        p_new, d_new = self.sample_passenger_destination(k_task)
+        mid = self.apply_task_reset(mid, task, p_new, d_new)
+        s_new = self.sample_init_state(k_reset)
+        reset_mask = done | trunc
+        new_state = self.apply_full_reset(mid, reset_mask, s_new)
+        obs = self.observe(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info

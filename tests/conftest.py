@@ -1,0 +1,27 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY.md §4.5): the same
+shard_map/pjit code paths as a TPU pod slice, validated without TPU hardware.
+Environment variables must be set before JAX is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def x64():
+    """Enable float64 for bit-exact continuous-env parity tests."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
