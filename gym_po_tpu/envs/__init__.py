@@ -1,3 +1,18 @@
 from .taxi import Taxi, TaxiState, TAXI_MAP, EXTENDED_TAXI_MAP
+from .rooms import Rooms, RoomsState
+from .crooms import CRooms, CRoomsState
+from .car_flag import CarFlag, DiscreteCarFlag, CarFlagState
 
-__all__ = ["Taxi", "TaxiState", "TAXI_MAP", "EXTENDED_TAXI_MAP"]
+__all__ = [
+    "CarFlag",
+    "DiscreteCarFlag",
+    "CarFlagState",
+    "Taxi",
+    "TaxiState",
+    "TAXI_MAP",
+    "EXTENDED_TAXI_MAP",
+    "Rooms",
+    "RoomsState",
+    "CRooms",
+    "CRoomsState",
+]

@@ -45,5 +45,31 @@ def _register_defaults() -> None:
         lambda **kw: Taxi(map=EXTENDED_TAXI_MAP, hansen_obs=True, **kw),
     )
 
+    def _rooms(**kw):
+        from .envs.rooms import Rooms
+
+        return Rooms(**kw)
+
+    def _crooms(**kw):
+        from .envs.crooms import CRooms
+
+        return CRooms(**kw)
+
+    register("Rooms-v0", _rooms)
+    register("CRooms-v0", _crooms)
+
+    def _car(**kw):
+        from .envs.car_flag import CarFlag
+
+        return CarFlag(**kw)
+
+    def _dcar(**kw):
+        from .envs.car_flag import DiscreteCarFlag
+
+        return DiscreteCarFlag(**kw)
+
+    register("CarFlag-v0", _car)
+    register("DiscreteCarFlag-v0", _dcar)
+
 
 _register_defaults()

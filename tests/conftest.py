@@ -7,7 +7,12 @@ Environment variables must be set before JAX is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the harness environment pre-sets JAX_PLATFORMS to the
+# remote-TPU plugin, where every dispatch pays a ~30 ms tunnel round-trip —
+# unusable for host-driven parity loops.  Set GYM_PO_TEST_ON_TPU=1 to opt out.
+if os.environ.get("GYM_PO_TEST_ON_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
