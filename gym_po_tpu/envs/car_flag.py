@@ -85,6 +85,9 @@ class CarFlag(Environment[CarFlagState]):
         Returns (mid_state, reward, done, truncated).
         """
         elapsed = state.elapsed + 1
+        # NOTE: on CPU the LLVM backend may contract this multiply-add into an
+        # FMA inside the XLA fusion, which breaks bit-exact NumPy parity under
+        # cancellation; parity tests pin --xla_cpu_max_isa=SSE4_2 (conftest).
         nv = jnp.clip(state.vel + force * POWER, -MAX_SPEED, MAX_SPEED)
         npos = jnp.clip(state.pos + nv, MIN_POS, MAX_POS)
         nv = jnp.where((npos == MIN_POS) & (nv < 0), jnp.zeros_like(nv), nv)

@@ -71,7 +71,7 @@ class CRooms(Environment[CRoomsState]):
         use_velocity: bool = False,
         cell_size: float = 1.0,
         obs_type: str = "mdp",
-        obs_n: int = 3,
+        obs_m: int = 3,
         action_failure_probability: float = 0.2,
         action_type: str = "yx",
         action_std: float = 0.2,
@@ -122,8 +122,10 @@ class CRooms(Environment[CRoomsState]):
             self._exec = make_exec_action(self._cum)
             self._action_space = Discrete(self.num_actions)
 
+        # param is named ``obs_m`` to mirror the reference exactly
+        # (reference crooms.py:112 uses obs_m; rooms.py:90/msrooms.py:273 use obs_n)
         self._observation_space, self._obs_fn = make_rooms_obs(
-            obs_type, grid, obs_n, cell_size=self.cell_size
+            obs_type, grid, obs_m, cell_size=self.cell_size
         )
 
         self.valid_states = np.flatnonzero(grid >= 0)

@@ -7,17 +7,29 @@ Environment variables must be set before JAX is imported anywhere.
 
 import os
 
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += " --xla_force_host_platform_device_count=8"
+# Pin the CPU codegen to a pre-FMA ISA for parity tests: with AVX2+FMA the
+# LLVM backend contracts f32 `a*b + c` chains into fused multiply-adds inside
+# XLA loop fusions (no HLO-level control, optimization_barrier doesn't reach
+# codegen), which breaks bit-exact equality with NumPy's two-rounding result
+# under cancellation (car_flag velocity, SURVEY.md §7 hard-part 1).
+if "xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=SSE4_2"
+os.environ["XLA_FLAGS"] = flags.strip()
+
 # Force the CPU backend: the harness environment pre-sets JAX_PLATFORMS to the
 # remote-TPU plugin, where every dispatch pays a ~30 ms tunnel round-trip —
 # unusable for host-driven parity loops.  Set GYM_PO_TEST_ON_TPU=1 to opt out.
+# NOTE: a sitecustomize module imports jax at interpreter startup, so env vars
+# set here are too late — update jax.config instead (backends init lazily).
 if os.environ.get("GYM_PO_TEST_ON_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

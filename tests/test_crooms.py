@@ -44,7 +44,7 @@ def _run_parity(layout, obs_type, seed, B=8, T=130, **kw):
                          "action_std": 0.0}),
         ("4b", "vector_hansen_goal", {"time_limit": 60, "goal_xy": None}),
         ("8", "room_goal", {"time_limit": 60, "use_velocity": True}),
-        ("4", "grid", {"obs_n": 5, "time_limit": 60, "cell_size": 2.0}),
+        ("4", "grid", {"obs_m": 5, "time_limit": 60, "cell_size": 2.0}),
     ],
 )
 def test_parity_vs_reference(layout, obs_type, kw):
