@@ -1,0 +1,80 @@
+"""Headline benchmark: aggregate env-steps/s on the PO-Taxi suite.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline convention: the reference publishes no numbers (BASELINE.md), so the
+driver-provided north star is the floor — >= 50M aggregate env-steps/s on a
+TPU v4-16 (8 chips), i.e. 6.25M env-steps/s/chip.  ``vs_baseline`` is
+measured steps/s on this chip divided by that per-chip target; > 1.0 beats
+the target.
+
+The hot loop is a single jitted ``lax.scan`` rollout (in-graph autoreset,
+in-graph uniform-random actions) so one device dispatch covers
+``batch × steps`` env transitions — the remote-tunnel dispatch latency of the
+bench harness is amortized away, exactly how a Podracer learner consumes the
+envs.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import gym_po_tpu as gpt
+from gym_po_tpu.vector import rollout
+
+PER_CHIP_TARGET = 50e6 / 8  # north star: 50M steps/s on v4-16 (8 chips)
+
+
+def bench_env(name: str, batch: int, steps: int, iters: int, seed: int = 0):
+    env = gpt.make(name)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(k, init):
+        traj, (obs, state) = rollout(env, k, None, batch, steps, init=init)
+        # tiny reduction so nothing is dead-code eliminated
+        return (obs, state), traj.reward.sum()
+
+    kr, key = jax.random.split(key)
+    init = jax.jit(lambda k: jax.vmap(env.reset)(jax.random.split(k, batch)))(kr)
+    # warmup / compile
+    init, s = run(key, init)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        init, s = run(key, init)
+        acc = acc + s
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    return batch * steps * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="HansenTaxi-v4")
+    p.add_argument("--batch", type=int, default=65536)
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--iters", type=int, default=4)
+    args = p.parse_args()
+
+    sps = bench_env(args.env, args.batch, args.steps, args.iters)
+    print(
+        json.dumps(
+            {
+                "metric": f"env_steps_per_s ({args.env}, B={args.batch}, 1 chip)",
+                "value": round(sps),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

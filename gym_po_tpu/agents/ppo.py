@@ -1,0 +1,330 @@
+"""Podracer-style PPO (Anakin architecture).
+
+North-star config 5 (BASELINE.md): a learner consuming sharded rollouts.
+The reference has no learner at all — its README merely links the Podracer
+paper (reference ``README.md``); this module realizes it the TPU way:
+
+* **Anakin layout** (Hessel et al. 2021): params replicated on every device,
+  env batch sharded over the ``data`` mesh axis.  Each device rolls out its
+  env shard with the current policy inside ``lax.scan``, computes PPO
+  gradients on its own trajectories, and a single ``psum`` over ICI merges
+  gradients — the only cross-device communication in the whole update.
+* The entire update (T-step rollout + GAE + E epochs × M minibatches) is ONE
+  jitted, shard_mapped program: no host round-trips, no data reshuffling
+  between "actor" and "learner" — they are the same device.
+* Minibatching permutes the *local* env axis only (device-local shuffle), so
+  no all-to-all is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import Environment
+from . import networks
+from .networks import ActorCritic, make_actor_critic
+
+__all__ = ["PPOConfig", "TrainState", "make_train_step", "init_train_state", "train"]
+
+
+class PPOConfig(NamedTuple):
+    """Hyperparameters (PPO defaults per Schulman et al. 2017)."""
+
+    num_envs: int = 4096  # global, across all devices
+    rollout_steps: int = 128
+    epochs: int = 4
+    minibatches: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    learning_rate: float = 2.5e-4
+    hidden: Tuple[int, ...] = (64, 64)
+    compute_dtype: Any = jnp.float32
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    env_obs: jax.Array  # [B_local] per-device obs
+    env_state: Any  # per-device env state pytree
+    key: jax.Array  # per-device PRNG key
+    update_idx: jax.Array
+
+
+class _Batch(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    logp: jax.Array
+    value: jax.Array
+    advantage: jax.Array
+    target: jax.Array
+
+
+def _gae(rewards, values, last_value, continues, gamma, lam):
+    """Generalized advantage estimation over the scan (time) axis.
+
+    ``continues`` is ``1 - (done | truncated)`` — the reference's autoreset
+    exposes no terminal obs (reset-before-obs, SURVEY.md §3.2 ⚠), so both
+    termination kinds bootstrap-cut; documented trade-off of exact parity
+    with the reference's episode semantics.
+    """
+
+    def step(carry, x):
+        gae, next_value = carry
+        reward, value, cont = x
+        delta = reward + gamma * next_value * cont - value
+        gae = delta + gamma * lam * cont * gae
+        return (gae, value), gae
+
+    (_, _), adv = jax.lax.scan(
+        step,
+        (jnp.zeros_like(last_value), last_value),
+        (rewards, values, continues),
+        reverse=True,
+    )
+    return adv, adv + values
+
+
+def init_train_state(
+    env: Environment,
+    config: PPOConfig,
+    key: jax.Array,
+    num_devices: int = 1,
+) -> Tuple[ActorCritic, TrainState]:
+    """Initialize replicated params + a host template of per-device state.
+
+    The returned TrainState is for ONE device shard (``B_local = num_envs /
+    num_devices``); :func:`make_train_step` shard_maps over the mesh and each
+    device folds its own key.
+    """
+    net = make_actor_critic(env, config.hidden, config.compute_dtype)
+    b_local = config.num_envs // num_devices
+    kp, kr = jax.random.split(key)
+    obs0, state0 = jax.vmap(env.reset)(jax.random.split(kr, b_local))
+    params = net.init(kp, obs0)
+    tx = _optimizer(config)
+    return net, TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        env_obs=obs0,
+        env_state=state0,
+        key=kr,
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def _optimizer(config: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+
+def _loss_fn(params, net, batch: _Batch, config: PPOConfig):
+    pi, value = net.apply(params, batch.obs)
+    logp = networks.log_prob(pi, batch.action)
+    ratio = jnp.exp(logp - batch.logp)
+    adv = (batch.advantage - batch.advantage.mean()) / (
+        batch.advantage.std() + 1e-8
+    )
+    pg = -jnp.minimum(
+        ratio * adv,
+        jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv,
+    ).mean()
+    v_clipped = batch.value + jnp.clip(
+        value - batch.value, -config.clip_eps, config.clip_eps
+    )
+    v_loss = 0.5 * jnp.maximum(
+        (value - batch.target) ** 2, (v_clipped - batch.target) ** 2
+    ).mean()
+    ent = networks.entropy(pi).mean()
+    loss = pg + config.value_coef * v_loss - config.entropy_coef * ent
+    return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": ent}
+
+
+def make_train_step(
+    env: Environment,
+    net: ActorCritic,
+    config: PPOConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Build the jitted (optionally shard_mapped) Anakin update.
+
+    Single-device when ``mesh is None``; otherwise the returned function
+    expects a TrainState whose env fields are sharded over ``axis`` and whose
+    params are replicated, and performs the gradient ``psum`` over ``axis``.
+    """
+    tx = _optimizer(config)
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    b_local = config.num_envs // n_dev
+    if config.num_envs % n_dev:
+        raise ValueError("num_envs must divide the device count")
+    mb_size = (b_local * config.rollout_steps) // config.minibatches
+
+    def local_update(ts: TrainState) -> Tuple[TrainState, dict]:
+        key = ts.key
+
+        # ---------------------------------------------------- rollout (scan)
+        def env_step(carry, _):
+            obs, est, key = carry
+            key, ka, ks = jax.random.split(key, 3)
+            pi, value = net.apply(ts.params, obs)
+            action, logp = networks.sample_action(pi, ka)
+            nobs, nest, rew, done, trunc, _ = jax.vmap(env.step)(
+                jax.random.split(ks, b_local), est, action
+            )
+            fin = (done | trunc).astype(jnp.float32)
+            out = (obs, action, logp, value, rew.astype(jnp.float32), 1.0 - fin)
+            return (nobs, nest, key), out
+
+        (obs_f, est_f, key), (obs, action, logp, value, rew, cont) = jax.lax.scan(
+            env_step,
+            (ts.env_obs, ts.env_state, key),
+            None,
+            length=config.rollout_steps,
+        )
+        _, last_value = net.apply(ts.params, obs_f)
+        adv, target = _gae(
+            rew, value, last_value, cont, config.gamma, config.gae_lambda
+        )
+        flat = _Batch(
+            obs=obs.reshape(-1, *obs.shape[2:]),
+            action=action.reshape(-1, *action.shape[2:]),
+            logp=logp.reshape(-1),
+            value=value.reshape(-1),
+            advantage=adv.reshape(-1),
+            target=target.reshape(-1),
+        )
+
+        # ------------------------------------------- epochs × minibatches
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, flat.obs.shape[0])
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+
+            def minibatch(carry, mb):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    _loss_fn, has_aux=True
+                )(params, net, mb, config)
+                if mesh is not None:
+                    grads = jax.lax.pmean(grads, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), {**aux, "loss": loss}
+
+            mbs = jax.tree.map(
+                lambda x: x.reshape(config.minibatches, mb_size, *x.shape[1:]),
+                shuffled,
+            )
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), mbs
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=config.epochs
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), aux)
+        metrics["mean_reward"] = rew.mean()
+        if mesh is not None:
+            metrics = jax.lax.pmean(metrics, axis)
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_obs=obs_f,
+            env_state=est_f,
+            key=key,
+            update_idx=ts.update_idx + 1,
+        )
+        return new_ts, metrics
+
+    if mesh is None:
+        return jax.jit(local_update, donate_argnums=0)
+
+    # Anakin: params/opt replicated, env fields + key sharded over `axis`.
+    state_specs = TrainState(
+        params=P(),
+        opt_state=P(),
+        env_obs=P(axis),
+        env_state=P(axis),
+        key=P(axis),
+        update_idx=P(),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_specs,),
+        out_specs=(state_specs, P()),
+        check_rep=False,
+    )
+    def sharded_update(ts):
+        # fold the device id into the shard's key so streams are independent
+        ts = ts.replace(key=ts.key[0])
+        new_ts, metrics = local_update(ts)
+        return new_ts.replace(key=new_ts.key[None]), metrics
+
+    return jax.jit(sharded_update, donate_argnums=0)
+
+
+def shard_train_state(
+    ts: TrainState, mesh: Mesh, axis: str = "data"
+) -> TrainState:
+    """Lay out a host TrainState for the Anakin update: params replicated,
+    env fields sharded over ``axis``, one PRNG key per device."""
+    from jax.sharding import NamedSharding
+
+    n = int(np.prod(list(mesh.shape.values())))
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    keys = jax.random.split(ts.key, n)
+    return TrainState(
+        params=jax.device_put(ts.params, rep),
+        opt_state=jax.device_put(ts.opt_state, rep),
+        env_obs=jax.device_put(ts.env_obs, shd),
+        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
+        key=jax.device_put(keys, shd),
+        update_idx=jax.device_put(ts.update_idx, rep),
+    )
+
+
+def train(
+    env: Environment,
+    config: PPOConfig,
+    seed: int = 0,
+    num_updates: int = 100,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 0,
+):
+    """Convenience driver: init, (shard,) and run ``num_updates`` updates."""
+    key = jax.random.PRNGKey(seed)
+    if mesh is None:
+        net, ts = init_train_state(env, config, key)
+    else:
+        net, ts = init_train_state(env, config, key)
+        # init made the full global env batch; lay it out across the mesh
+        ts = shard_train_state(ts, mesh)
+    step = make_train_step(env, net, config, mesh)
+    history = []
+    for i in range(num_updates):
+        ts, metrics = step(ts)
+        if log_every and (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            print(f"update {i+1}: {m}")
+    return net, ts, history

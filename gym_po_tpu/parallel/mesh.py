@@ -1,0 +1,121 @@
+"""Device mesh construction and sharded rollout execution.
+
+The reference has no distributed machinery at all (no NCCL/MPI/Gloo imports,
+SURVEY.md §2.5) — this subsystem is new, designed the TPU way: a
+``jax.sharding.Mesh`` spans the pod slice, the env batch is sharded over the
+``data`` axis with ``shard_map``, XLA routes any cross-device traffic over ICI
+(intra-slice) / DCN (inter-slice) automatically, and learner gradient
+reduction is a single ``psum`` over the same axis
+(:mod:`gym_po_tpu.agents.ppo`).
+
+Env stepping itself needs **zero communication**: every env instance is
+independent, so an N-chip rollout is N single-chip rollouts running in
+lockstep — near-linear scaling by construction.  Collectives appear only in
+the learner (gradient ``psum``) and in metric reductions (``pmean``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import Environment
+from ..vector import Transition, rollout
+
+__all__ = [
+    "make_mesh",
+    "distributed_init",
+    "sharded_rollout",
+    "shard_batch",
+]
+
+DATA_AXIS = "data"
+
+
+def distributed_init(**kwargs) -> None:
+    """Multi-host bring-up: call once per host before any JAX computation.
+
+    Thin wrapper over ``jax.distributed.initialize`` so user code has a single
+    entry point; on a single host it is a no-op.
+    """
+    if jax.process_count() > 1:  # already initialized
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process (no coordinator configured) — run locally
+        pass
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a device mesh.
+
+    Defaults to a 1-D ``('data',)`` mesh over every addressable device —
+    the right layout for an embarrassingly-parallel env batch.
+    ``mesh_utils.create_device_mesh`` orders devices so neighboring mesh
+    coordinates are ICI neighbors.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = mesh_utils.create_device_mesh(
+        tuple(shape), devices=list(devices)
+    )
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Place a host pytree with a leading batch axis sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def sharded_rollout(
+    env: Environment,
+    mesh: Mesh,
+    key: jax.Array,
+    policy: Optional[Callable],
+    num_envs: int,
+    num_steps: int,
+    axis: str = DATA_AXIS,
+) -> Tuple[Transition, Tuple[jax.Array, object]]:
+    """Run ``num_envs`` environments for ``num_steps``, sharded over ``axis``.
+
+    Each device owns ``num_envs / axis_size`` independent envs and runs the
+    same single-chip ``lax.scan`` rollout (:func:`gym_po_tpu.vector.rollout`);
+    there is no cross-device traffic in the env loop.  Returned arrays are
+    global (sharded) jax.Arrays: time axis replicated-layout, batch axis
+    sharded over ``axis``.
+    """
+    n = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    if num_envs % n:
+        raise ValueError(f"num_envs={num_envs} not divisible by mesh axis {n}")
+    local_envs = num_envs // n
+
+    keys = jax.random.split(key, n)  # one key per shard
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(None, axis), (P(axis), P(axis))),
+        check_rep=False,
+    )
+    def run(shard_keys):
+        traj, (obs, state) = rollout(
+            env, shard_keys[0], policy, local_envs, num_steps
+        )
+        return traj, (obs, state)
+
+    return jax.jit(run)(keys)
