@@ -253,8 +253,11 @@ def make_train_step(
         )
         return new_ts, metrics
 
+    # NOTE: no buffer donation — for envs whose obs IS a state field (e.g.
+    # Taxi obs == state.s) env_obs and env_state alias the same buffer, and
+    # donating the TrainState would donate it twice.
     if mesh is None:
-        return jax.jit(local_update, donate_argnums=0)
+        return jax.jit(local_update)
 
     # Anakin: params/opt replicated, env fields + key sharded over `axis`.
     state_specs = TrainState(
@@ -279,7 +282,7 @@ def make_train_step(
         new_ts, metrics = local_update(ts)
         return new_ts.replace(key=new_ts.key[None]), metrics
 
-    return jax.jit(sharded_update, donate_argnums=0)
+    return jax.jit(sharded_update)
 
 
 def shard_train_state(

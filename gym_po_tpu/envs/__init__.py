@@ -1,6 +1,7 @@
 from .taxi import Taxi, TaxiState, TAXI_MAP, EXTENDED_TAXI_MAP
 from .rooms import Rooms, RoomsState
 from .crooms import CRooms, CRoomsState
+from .msrooms import MultistoryFourRooms, MSRoomsState
 from .car_flag import CarFlag, DiscreteCarFlag, CarFlagState
 
 __all__ = [
@@ -15,4 +16,6 @@ __all__ = [
     "RoomsState",
     "CRooms",
     "CRoomsState",
+    "MultistoryFourRooms",
+    "MSRoomsState",
 ]

@@ -206,9 +206,15 @@ class CRooms(Environment[CRoomsState]):
         elapsed = state.elapsed + 1
         cs = self.cell_size
         center = (self._cell(state.agent_yx) * cs + cs / 2).astype(dt)
-        resampled = jnp.clip(
-            center + cell_noise, center - cs / 2, center + cs / 2 - 1e-8
+        # upper bound: reference uses boundary - 1e-8 (crooms.py:327).  In f32
+        # perf mode that margin underflows (cell+1-1e-8 rounds to cell+1), so
+        # additionally clamp one ULP below the boundary; in f64 parity mode
+        # nextafter(boundary) > boundary-1e-8 and the minimum is a no-op.
+        boundary = center + cs / 2
+        hi = jnp.minimum(
+            boundary - 1e-8, jnp.nextafter(boundary, jnp.zeros_like(boundary))
         )
+        resampled = jnp.clip(center + cell_noise, center - cs / 2, hi)
         agent = jnp.where(oob, resampled, proposed)
         vel = jnp.where(oob, jnp.zeros_like(vel_new), vel_new)
         diff = agent - state.goal_yx

@@ -58,6 +58,13 @@ def _register_defaults() -> None:
     register("Rooms-v0", _rooms)
     register("CRooms-v0", _crooms)
 
+    def _msrooms(**kw):
+        from .envs.msrooms import MultistoryFourRooms
+
+        return MultistoryFourRooms(**kw)
+
+    register("MultistoryFourRooms-v0", _msrooms)
+
     def _car(**kw):
         from .envs.car_flag import CarFlag
 

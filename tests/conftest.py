@@ -34,9 +34,13 @@ if os.environ.get("GYM_PO_TEST_ON_TPU") != "1":
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def x64():
-    """Enable float64 for bit-exact continuous-env parity tests."""
+    """Enable float64 for bit-exact continuous-env parity tests.
+
+    Function-scoped so the flag never leaks into perf-mode tests that
+    assume default f32/i32 dtypes.
+    """
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,126 @@
+"""agents/ layer: actor-critic heads and the Anakin PPO update.
+
+Key property (SURVEY.md §4 item 5 applied to the learner): the sharded
+8-device update must produce the SAME parameters as an equivalent
+single-device update when fed identical per-shard streams — and PPO must
+actually learn on an easy task (smoke-level check).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gym_po_tpu as gpt
+from gym_po_tpu.agents import (
+    PPOConfig,
+    init_train_state,
+    make_train_step,
+    shard_train_state,
+)
+from gym_po_tpu.agents.networks import (
+    entropy,
+    log_prob,
+    make_actor_critic,
+    sample_action,
+)
+
+
+def test_discrete_policy_head():
+    env = gpt.make("HansenTaxi-v4")
+    net = make_actor_critic(env, hidden=(16,))
+    key = jax.random.PRNGKey(0)
+    obs = jnp.zeros(4, jnp.int32)
+    params = net.init(key, obs)
+    pi, v = net.apply(params, obs)
+    assert pi["kind"] == "categorical"
+    assert pi["logits"].shape == (4, env.action_space.n)
+    assert v.shape == (4,)
+    a, lp = sample_action(pi, key)
+    assert a.shape == (4,)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(log_prob(pi, a)), rtol=1e-6
+    )
+    ent = entropy(pi)
+    assert (np.asarray(ent) > 0).all()
+    assert (np.asarray(ent) <= np.log(env.action_space.n) + 1e-5).all()
+
+
+def test_gaussian_policy_head():
+    env = gpt.make("CarFlag-v0")
+    net = make_actor_critic(env, hidden=(16,))
+    key = jax.random.PRNGKey(0)
+    obs = jnp.zeros((4, 3), jnp.float32)
+    params = net.init(key, obs)
+    pi, v = net.apply(params, obs)
+    assert pi["kind"] == "gaussian" and pi["mean"].shape == (4, 1)
+    a, lp = sample_action(pi, key)
+    assert a.shape == (4, 1) and lp.shape == (4,)
+    # analytic check of the Gaussian log-prob at the mean
+    lp_mean = np.asarray(log_prob(pi, pi["mean"]))
+    expected = -float(pi["log_std"][0]) - 0.5 * np.log(2 * np.pi)
+    np.testing.assert_allclose(lp_mean, expected, rtol=1e-5)
+
+
+def test_train_step_updates_and_is_finite():
+    env = gpt.make("Taxi-v4")
+    cfg = PPOConfig(
+        num_envs=16, rollout_steps=8, epochs=2, minibatches=2, hidden=(16,)
+    )
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(env, net, cfg)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.params)
+    ts2, metrics = step(ts)
+    assert int(ts2.update_idx) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), before, ts2.params
+    )
+    assert any(jax.tree.leaves(changed))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_anakin_runs_on_mesh():
+    from gym_po_tpu.parallel import make_mesh
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    env = gpt.make("HansenTaxi-v4")
+    cfg = PPOConfig(
+        num_envs=32, rollout_steps=8, epochs=2, minibatches=2, hidden=(16,)
+    )
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    ts = shard_train_state(ts, mesh)
+    step = make_train_step(env, net, cfg, mesh)
+    ts, m1 = step(ts)
+    ts, m2 = step(ts)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(ts.update_idx) == 2
+    # params remain replicated (same value on every device)
+    leaf = jax.tree.leaves(ts.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_ppo_learns_carflag_smoke():
+    """Reward trend on DiscreteCarFlag: mean reward over the last updates
+    should beat the first (cheap smoke test of the full learning loop)."""
+    env = gpt.make("DiscreteCarFlag-v0", num_actions=3, time_limit=60)
+    cfg = PPOConfig(
+        num_envs=64,
+        rollout_steps=32,
+        epochs=4,
+        minibatches=4,
+        hidden=(32, 32),
+        learning_rate=1e-3,
+        entropy_coef=0.003,
+    )
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(1))
+    step = make_train_step(env, net, cfg)
+    rewards = []
+    for _ in range(30):
+        ts, metrics = step(ts)
+        rewards.append(float(metrics["mean_reward"]))
+    assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) - 1e-4, rewards
