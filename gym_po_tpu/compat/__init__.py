@@ -1,3 +1,39 @@
-from .parity import TaxiParityDriver, reference_rng
+from .parity import (
+    CarFlagParityDriver,
+    CRoomsParityDriver,
+    MSRoomsParityDriver,
+    RoomsParityDriver,
+    TaxiParityDriver,
+    reference_rng,
+)
+from .gym_api import (
+    CarVecEnv,
+    CRoomsEnv,
+    DiscreteActionCarVecEnv,
+    ExtendedHansenTaxiVecEnv,
+    ExtendedTaxiVecEnv,
+    GymnasiumVecAdapter,
+    HansenTaxiVecEnv,
+    MultistoryFourRoomsEnv,
+    RoomsEnv,
+    TaxiVecEnv,
+)
 
-__all__ = ["TaxiParityDriver", "reference_rng"]
+__all__ = [
+    "reference_rng",
+    "TaxiParityDriver",
+    "RoomsParityDriver",
+    "CRoomsParityDriver",
+    "CarFlagParityDriver",
+    "MSRoomsParityDriver",
+    "GymnasiumVecAdapter",
+    "TaxiVecEnv",
+    "HansenTaxiVecEnv",
+    "ExtendedTaxiVecEnv",
+    "ExtendedHansenTaxiVecEnv",
+    "RoomsEnv",
+    "CRoomsEnv",
+    "MultistoryFourRoomsEnv",
+    "CarVecEnv",
+    "DiscreteActionCarVecEnv",
+]

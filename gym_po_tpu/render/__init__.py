@@ -1,0 +1,25 @@
+from .renderers import (
+    CELL_PX,
+    COLORS,
+    human_view,
+    render,
+    render_car,
+    render_crooms,
+    render_msrooms,
+    render_rooms,
+    render_taxi,
+    tile_images,
+)
+
+__all__ = [
+    "CELL_PX",
+    "COLORS",
+    "render",
+    "render_taxi",
+    "render_rooms",
+    "render_crooms",
+    "render_msrooms",
+    "render_car",
+    "tile_images",
+    "human_view",
+]

@@ -1,0 +1,98 @@
+"""Drop-in gymnasium API adapters + host-side renderers."""
+
+import numpy as np
+import pytest
+
+from gym_po_tpu.compat import (
+    CarVecEnv,
+    CRoomsEnv,
+    DiscreteActionCarVecEnv,
+    ExtendedHansenTaxiVecEnv,
+    MultistoryFourRoomsEnv,
+    RoomsEnv,
+    TaxiVecEnv,
+)
+
+
+def test_taxi_adapter_matches_reference_surface():
+    env = TaxiVecEnv(num_envs=8, hansen_obs=True)
+    assert env.is_vector_env and env.num_envs == 8
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (8,) and isinstance(info, dict)
+    assert env.single_action_space.n == 5
+    assert env.observation_space.shape == (8,)
+    for _ in range(5):
+        a = np.random.default_rng(0).integers(0, 5, 8)
+        obs, rew, done, trunc, info = env.step(a)
+    assert obs.shape == rew.shape == done.shape == trunc.shape == (8,)
+    assert env.single_observation_space.contains(int(obs[0]))
+
+
+def test_rooms_adapter_bare_reset_quirk():
+    env = RoomsEnv(4, layout="4", obs_type="mdp")
+    out = env.reset(seed=1)
+    # reference quirk: bare obs, no info tuple (rooms.py:177-189)
+    assert isinstance(out, np.ndarray) and out.shape == (4,)
+    obs, rew, done, trunc, _ = env.step(np.zeros(4, np.int64))
+    assert rew.shape == (4,)
+
+
+def test_crooms_adapter_seed_method():
+    env = CRoomsEnv(4, layout="4", obs_type="vector_mdp")
+    env.seed(3)
+    obs = env.reset()
+    assert obs.shape == (4, 2)
+    obs, *_ = env.step(np.zeros((4, 2), np.float32))
+    assert obs.shape == (4, 2)
+
+
+def test_msrooms_adapter():
+    env = MultistoryFourRoomsEnv(4, grid_z=2, obs_type="hansen")
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (4,)
+    obs, *_ = env.step(np.zeros(4, np.int64))
+
+
+def test_car_adapters():
+    env = CarVecEnv(4, time_limit=30)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (4, 3)
+    obs, rew, done, trunc, _ = env.step(np.zeros((4, 1), np.float32))
+    denv = DiscreteActionCarVecEnv(5, 4, time_limit=30)
+    obs, _ = denv.reset(seed=0)
+    obs, *_ = denv.step(np.array([0, 1, 2, 3]))
+    assert obs.shape == (4, 3)
+
+
+def test_extended_hansen_partial():
+    env = ExtendedHansenTaxiVecEnv(num_envs=2)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (2,)
+
+
+@pytest.mark.parametrize(
+    "ctor,kw",
+    [
+        (TaxiVecEnv, {"num_envs": 3}),
+        (RoomsEnv, {"num_envs": 3, "layout": "4"}),
+        (CRoomsEnv, {"num_envs": 3, "layout": "4"}),
+        (MultistoryFourRoomsEnv, {"num_envs": 3, "grid_z": 2}),
+        (CarVecEnv, {"num_envs": 3}),
+    ],
+)
+def test_render_rgb(ctor, kw):
+    env = ctor(**kw)
+    env.reset(seed=0)
+    img = env.render(idx=range(kw["num_envs"]))
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] > 8 and img.shape[1] > 8
+    assert img.max() > 0  # something was drawn
+
+
+def test_tile_images_montage():
+    from gym_po_tpu.render import tile_images
+
+    frames = [np.full((4, 6, 3), i, np.uint8) for i in range(5)]
+    out = tile_images(frames)
+    assert out.shape == (8, 18, 3)  # 2 rows x 3 cols
+    assert (out[:4, :6] == 0).all() and (out[4:, :6] == 3).all()
