@@ -3,6 +3,14 @@ from .rooms import Rooms, RoomsState
 from .crooms import CRooms, CRoomsState
 from .msrooms import MultistoryFourRooms, MSRoomsState
 from .car_flag import CarFlag, DiscreteCarFlag, CarFlagState
+from .rocksample import RockSample, RockSampleState
+
+try:  # MuJoCo ant envs need the host mujoco runtime
+    from .ant import AntHeavenHellEnv, AntTagEnv
+
+    __all_ant__ = ["AntTagEnv", "AntHeavenHellEnv"]
+except ImportError:  # pragma: no cover
+    __all_ant__ = []
 
 __all__ = [
     "CarFlag",
@@ -18,4 +26,6 @@ __all__ = [
     "CRoomsState",
     "MultistoryFourRooms",
     "MSRoomsState",
+    "RockSample",
+    "RockSampleState",
 ]

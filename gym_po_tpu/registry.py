@@ -78,5 +78,12 @@ def _register_defaults() -> None:
     register("CarFlag-v0", _car)
     register("DiscreteCarFlag-v0", _dcar)
 
+    def _rocksample(**kw):
+        from .envs.rocksample import RockSample
+
+        return RockSample(**kw)
+
+    register("RockSample-v0", _rocksample)
+
 
 _register_defaults()
