@@ -1,0 +1,84 @@
+"""Throughput sweep across the env suite.
+
+Prints one JSON line per (env, batch) config: env-steps/s via a single
+jitted ``lax.scan`` rollout (in-graph autoreset + uniform-random actions).
+Runs on whatever backend JAX selects (TPU chip under the driver; CPU with
+``JAX_PLATFORMS=cpu``).
+
+Usage: python benchmarks/suite.py [--batches 4096 65536] [--steps 256]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, ".")  # repo root
+import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.vector import rollout  # noqa: E402
+
+CONFIGS = [
+    ("Taxi-v4", {}),
+    ("HansenTaxi-v4", {}),
+    ("ExtendedHansenTaxi-v4", {}),
+    ("Rooms-v0", {"layout": "4", "obs_type": "hansen", "goal_xy": None}),
+    ("Rooms-v0", {"layout": "16", "obs_type": "mdp", "goal_xy": None}),
+    ("CRooms-v0", {"layout": "4", "obs_type": "mdp", "use_velocity": True,
+                   "goal_xy": None}),
+    ("MultistoryFourRooms-v0", {"grid_z": 3, "obs_type": "hansen",
+                                "goal_xyz": None}),
+    ("DiscreteCarFlag-v0", {"num_actions": 5}),
+    ("RockSample-v0", {"map_size": (7, 7), "num_rocks": 8}),
+]
+
+
+def bench(name, kw, batch, steps, iters=3):
+    env = gpt.make(name, **kw)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(k, init):
+        traj, (obs, st) = rollout(env, k, None, batch, steps, init=init)
+        return (obs, st), traj.reward.sum()
+
+    init = jax.jit(
+        lambda k: jax.vmap(env.reset)(jax.random.split(k, batch))
+    )(key)
+    init, s = run(key, init)  # compile + warmup
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        init, s = run(jax.random.fold_in(key, i), init)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    return batch * steps * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="+", default=[4096, 65536])
+    p.add_argument("--steps", type=int, default=256)
+    args = p.parse_args()
+    dev = jax.devices()[0].platform
+    for name, kw in CONFIGS:
+        for batch in args.batches:
+            sps = bench(name, kw, batch, args.steps)
+            print(
+                json.dumps(
+                    {
+                        "env": name,
+                        "kwargs": kw,
+                        "batch": batch,
+                        "steps_per_s": round(sps),
+                        "device": dev,
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
