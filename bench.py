@@ -28,7 +28,12 @@ from gym_po_tpu.vector import rollout
 PER_CHIP_TARGET = 50e6 / 8  # north star: 50M steps/s on v4-16 (8 chips)
 
 
-def bench_env(name: str, batch: int, steps: int, iters: int, seed: int = 0):
+def bench_env(
+    name: str, batch: int, steps: int, iters: int, seed: int = 0, windows: int = 5
+):
+    """Median-of-windows throughput: the remote-chip tunnel has bursty
+    latency, so a single timing window is noisy; each window times ``iters``
+    chained rollouts and the median window wins."""
     env = gpt.make(name)
     key = jax.random.PRNGKey(seed)
 
@@ -39,20 +44,21 @@ def bench_env(name: str, batch: int, steps: int, iters: int, seed: int = 0):
         return (obs, state), traj.reward.sum()
 
     kr, key = jax.random.split(key)
-    init = jax.jit(lambda k: jax.vmap(env.reset)(jax.random.split(k, batch)))(kr)
+    init = jax.jit(lambda k: env.reset_vec(k, batch))(kr)
     # warmup / compile
     init, s = run(key, init)
     jax.block_until_ready(s)
 
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for i in range(iters):
-        key = jax.random.fold_in(key, i)
-        init, s = run(key, init)
-        acc = acc + s
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
-    return batch * steps * iters / dt
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key = jax.random.fold_in(key, w * iters + i)
+            init, s = run(key, init)
+        jax.block_until_ready(s)
+        rates.append(batch * steps * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def main():

@@ -34,7 +34,8 @@ CONFIGS = [
 ]
 
 
-def bench(name, kw, batch, steps, iters=3):
+def bench(name, kw, batch, steps, iters=3, windows=5):
+    """Median-of-windows (the remote-chip tunnel has bursty latency)."""
     env = gpt.make(name, **kw)
     key = jax.random.PRNGKey(0)
 
@@ -43,18 +44,18 @@ def bench(name, kw, batch, steps, iters=3):
         traj, (obs, st) = rollout(env, k, None, batch, steps, init=init)
         return (obs, st), traj.reward.sum()
 
-    init = jax.jit(
-        lambda k: jax.vmap(env.reset)(jax.random.split(k, batch))
-    )(key)
+    init = jax.jit(lambda k: env.reset_vec(k, batch))(key)
     init, s = run(key, init)  # compile + warmup
     jax.block_until_ready(s)
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        init, s = run(jax.random.fold_in(key, i), init)
-    jax.block_until_ready(s)
-    dt = time.perf_counter() - t0
-    return batch * steps * iters / dt
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            init, s = run(jax.random.fold_in(key, w * iters + i), init)
+        jax.block_until_ready(s)
+        rates.append(batch * steps * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def main():

@@ -112,7 +112,7 @@ def init_train_state(
     net = make_actor_critic(env, config.hidden, config.compute_dtype)
     b_local = config.num_envs // num_devices
     kp, kr = jax.random.split(key)
-    obs0, state0 = jax.vmap(env.reset)(jax.random.split(kr, b_local))
+    obs0, state0 = env.reset_vec(kr, b_local)
     params = net.init(kp, obs0)
     tx = _optimizer(config)
     return net, TrainState(
@@ -183,9 +183,7 @@ def make_train_step(
             key, ka, ks = jax.random.split(key, 3)
             pi, value = net.apply(ts.params, obs)
             action, logp = networks.sample_action(pi, ka)
-            nobs, nest, rew, done, trunc, _ = jax.vmap(env.step)(
-                jax.random.split(ks, b_local), est, action
-            )
+            nobs, nest, rew, done, trunc, _ = env.step_vec(ks, est, action)
             fin = (done | trunc).astype(jnp.float32)
             out = (obs, action, logp, value, rew.astype(jnp.float32), 1.0 - fin)
             return (nobs, nest, key), out

@@ -88,14 +88,8 @@ class GymnasiumVecAdapter:
             self.single_action_space, self.num_envs
         )
 
-        self._reset_jit = jax.jit(
-            lambda k: jax.vmap(env.reset)(jax.random.split(k, self.num_envs))
-        )
-        self._step_jit = jax.jit(
-            lambda k, s, a: jax.vmap(env.step)(
-                jax.random.split(k, self.num_envs), s, a
-            )
-        )
+        self._reset_jit = jax.jit(lambda k: env.reset_vec(k, self.num_envs))
+        self._step_jit = jax.jit(lambda k, s, a: env.step_vec(k, s, a))
         self._key = jax.random.PRNGKey(0)
         self._state = None
 

@@ -174,6 +174,41 @@ class CarFlag(Environment[CarFlagState]):
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return obs, new_state, rew, done, trunc, info
 
+    # ------------------------------------------------------ batched fast path
+    def _sample_reset_vec(self, key: jax.Array, num: int):
+        kp, kh, kr = jax.random.split(key, 3)
+        pos = jax.random.uniform(kp, (num,), jnp.float32, -0.2, 0.2)
+        sign = lambda k: jnp.where(  # noqa: E731
+            jax.random.bernoulli(k, shape=(num,)),
+            jnp.float32(1.0),
+            jnp.float32(-1.0),
+        )
+        return pos, sign(kh), sign(kr) * jnp.float32(PRIEST)
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        pos, heaven, priest = self._sample_reset_vec(key, num_envs)
+        zeros = jnp.zeros(num_envs, jnp.float32)
+        state = CarFlagState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            pos=pos,
+            vel=zeros,
+            dirn=zeros,
+            heaven=heaven,
+            priest=priest,
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: CarFlagState, action: jax.Array):
+        B = action.shape[0]
+        # advance/apply_reset are shape-polymorphic; _force and observe are not
+        mid, rew, done, trunc = self.advance(state, jax.vmap(self._force)(action))
+        reset_mask = done | trunc
+        pos, heaven, priest = self._sample_reset_vec(key, B)
+        new_state = self.apply_reset(mid, reset_mask, pos, heaven, priest)
+        obs = jax.vmap(self.observe)(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info
+
 
 class DiscreteCarFlag(CarFlag):
     """Evenly-spaced discrete forces (reference car_flag.py:286-303).

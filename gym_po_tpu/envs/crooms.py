@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import table_gather
 from ..core import Box, Discrete, Environment, EnvState
 from ..maps.layouts import LAYOUT_NAMES, layout_end, layout_grid, layout_start
 from ..obs.observations import make_rooms_obs
@@ -102,6 +103,8 @@ class CRooms(Environment[CRoomsState]):
         self.goal_threshold = float(goal_threshold)
 
         self._grid = jnp.asarray(grid, jnp.int32)
+        self._grid_flat = jnp.asarray(grid.reshape(-1), jnp.int32)
+        self._W = grid.shape[1]
         # position clip ceiling (reference crooms.py:312-314), f64 on host
         self._pos_hi = self.gridshape.astype(np.float64) - 1 - 1e-6
 
@@ -165,7 +168,7 @@ class CRooms(Environment[CRoomsState]):
 
     def _wall_at(self, coord: jax.Array) -> jax.Array:
         c = self._cell(coord)
-        return self._grid[c[0], c[1]] == -1
+        return table_gather(self._grid_flat, c[..., 0] * self._W + c[..., 1]) == -1
 
     def displacement(self, executed: jax.Array) -> jax.Array:
         """Discrete executed action -> float displacement."""
@@ -299,5 +302,60 @@ class CRooms(Environment[CRoomsState]):
             mid, reset_mask, self.sample_goal(kg, dt), self.sample_agent(kag, dt)
         )
         obs = self.observe(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    def _sample_spawn_vec(self, key, num: int, fixed, dtype) -> jax.Array:
+        if fixed is not None:
+            return jnp.broadcast_to(jnp.asarray(fixed, dtype), (num, 2))
+        idx = jax.random.randint(key, (num,), 0, self._valid_coord.shape[0])
+        return self._valid_coord[idx].astype(dtype)
+
+    def _sample_effective_vec(self, key, action: jax.Array) -> jax.Array:
+        B = action.shape[0]
+        if self.action_type == "yx":
+            noise = jax.random.normal(key, (B, 2), action.dtype) * self.action_std
+            return (action + noise) * self.action_power
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (B,))
+        executed = jax.vmap(self._exec)(action, u)
+        disp = self._disp[executed]
+        if self.action_std:
+            disp = disp + jax.random.normal(kn, (B, 2), disp.dtype) * self.action_std
+        return disp * self.action_power
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        kg, ka = jax.random.split(key)
+        state = CRoomsState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            agent_yx=self._sample_spawn_vec(
+                ka, num_envs, self.fixed_agent_coord, jnp.float32
+            ),
+            goal_yx=self._sample_spawn_vec(
+                kg, num_envs, self.fixed_goal_coord, jnp.float32
+            ),
+            vel_yx=jnp.zeros((num_envs, 2), jnp.float32),
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: CRoomsState, action: jax.Array):
+        B = action.shape[0]
+        ka, kc, kg, kag = jax.random.split(key, 4)
+        a_eff = self._sample_effective_vec(ka, action)
+        proposed, vel_new, oob = jax.vmap(self.propose)(state, a_eff)
+        dt = state.agent_yx.dtype
+        cell_noise = jax.random.normal(kc, (B, 2), dt) * jnp.asarray(0.5, dt)
+        mid, rew, done, trunc = jax.vmap(self.resolve)(
+            state, proposed, vel_new, oob, cell_noise
+        )
+        reset_mask = done | trunc
+        new_state = jax.vmap(self.apply_reset)(
+            mid,
+            reset_mask,
+            self._sample_spawn_vec(kg, B, self.fixed_goal_coord, dt),
+            self._sample_spawn_vec(kag, B, self.fixed_agent_coord, dt),
+        )
+        obs = jax.vmap(self.observe)(new_state)
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return obs, new_state, rew, done, trunc, info

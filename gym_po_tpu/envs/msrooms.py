@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import table_gather
 from ..core import Box, Discrete, Environment, EnvState, Space
 from ..utils.actions import (
     ACTIONS_CARDINAL_Z,
@@ -101,7 +102,16 @@ def make_msrooms_obs(
     """
     is_vector = "vector" in obs_type
     has_goal = "goal" in obs_type
-    grid_j = jnp.asarray(grid, jnp.int32)
+    grid_flat = jnp.asarray(grid.reshape(-1), jnp.int32)
+    _HW = grid.shape[1] * grid.shape[2]
+    _W = grid.shape[2]
+
+    def grid_at(zyx):
+        """grid[z, y, x] via the MXU fast-gather path (ops.table_gather)."""
+        return table_gather(
+            grid_flat, zyx[..., 0] * _HW + zyx[..., 1] * _W + zyx[..., 2]
+        )
+
     S = grid.shape[0]
 
     a_max = np.asarray(grid.shape, np.int64) - 2
@@ -122,18 +132,21 @@ def make_msrooms_obs(
             # dense ids over all non-wall cells incl. stairs (msrooms.py:226)
             sg_np = ((grid - 1) >= 0).cumsum().reshape(grid.shape) - 1
             n = int((grid > 0).sum())
-            sg = jnp.asarray(sg_np, jnp.int32)
+            sg_flat = jnp.asarray(sg_np.reshape(-1), jnp.int32)
+
+            def sg_at(zyx):
+                return table_gather(
+                    sg_flat, zyx[..., 0] * _HW + zyx[..., 1] * _W + zyx[..., 2]
+                )
+
             if has_goal:
                 space = Discrete(int(n**2))
                 def obs(agent, goal):
-                    return (
-                        sg[agent[0], agent[1], agent[2]]
-                        + n * sg[goal[0], goal[1], goal[2]]
-                    )
+                    return sg_at(agent) + n * sg_at(goal)
             else:
                 space = Discrete(int(n))
                 def obs(agent, goal):
-                    return sg[agent[0], agent[1], agent[2]]
+                    return sg_at(agent)
     elif "hansen" in obs_type:
         base_n = 8 if "8" in obs_type else 4
         offs = jnp.asarray(
@@ -142,7 +155,7 @@ def make_msrooms_obs(
 
         def neighbor_codes(agent, goal):
             nb = agent[None, :] + offs  # [k, 3]
-            vals = grid_j[nb[:, 0], nb[:, 1], nb[:, 2]]
+            vals = grid_at(nb)
             # alias chain (msrooms.py:154-155): every non-wall square -> 2
             sq = jnp.where(vals > 0, 2, 0)
             is_goal = (nb == goal[None, :]).all(-1)
@@ -220,6 +233,9 @@ class MultistoryFourRooms(Environment[MSRoomsState]):
         self.goal_reward = float(goal_reward)
 
         self._grid = jnp.asarray(grid, jnp.int32)
+        self._grid_flat = jnp.asarray(grid.reshape(-1), jnp.int32)
+        self._HW = grid.shape[1] * grid.shape[2]
+        self._W3 = grid.shape[2]
         actions = ACTIONS_CARDINAL_Z if action_type == "cardinal" else ACTIONS_ORDINAL_Z
         self._actions = jnp.asarray(actions, jnp.int32)
         self.num_actions = actions.shape[0]
@@ -283,11 +299,17 @@ class MultistoryFourRooms(Environment[MSRoomsState]):
         """Move + stair transit + reward (reference msrooms.py:398-413)."""
         elapsed = state.elapsed + 1
         proposed = state.agent_zyx + self._actions[executed]
-        cell = self._grid[proposed[0], proposed[1], proposed[2]]
+        cell = table_gather(
+            self._grid_flat,
+            proposed[..., 0] * self._HW + proposed[..., 1] * self._W3 + proposed[..., 2],
+        )
         oob = cell == WALL
         agent = jnp.where(oob, state.agent_zyx, proposed)
         # stair transit only when the agent moved (reference :419-428)
-        acell = self._grid[agent[0], agent[1], agent[2]]
+        acell = table_gather(
+            self._grid_flat,
+            agent[..., 0] * self._HW + agent[..., 1] * self._W3 + agent[..., 2],
+        )
         go_up = (acell == STAIR_UP) & ~oob
         go_down = (acell == STAIR_DOWN) & ~oob
         up_pos = jnp.concatenate(
@@ -358,5 +380,42 @@ class MultistoryFourRooms(Environment[MSRoomsState]):
             mid, reset_mask, self.sample_goal(kg), self.sample_agent(ka)
         )
         obs = self.observe(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    def _sample_spawn_vec(self, key, num: int, fixed, bank) -> jax.Array:
+        if fixed is not None:
+            return jnp.broadcast_to(jnp.asarray(fixed, jnp.int32), (num, 3))
+        idx = jax.random.randint(key, (num,), 0, bank.shape[0])
+        return bank[idx]
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        kg, ka = jax.random.split(key)
+        state = MSRoomsState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            agent_zyx=self._sample_spawn_vec(
+                ka, num_envs, self.fixed_agent_zyx, self._valid_agent_zyx
+            ),
+            goal_zyx=self._sample_spawn_vec(
+                kg, num_envs, self.fixed_goal_zyx, self._valid_goal_zyx
+            ),
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: MSRoomsState, action: jax.Array):
+        B = action.shape[0]
+        ku, kg, ka = jax.random.split(key, 3)
+        u = jax.random.uniform(ku, (B,))
+        executed = jax.vmap(self.exec_action)(action, u)
+        mid, rew, done, trunc = jax.vmap(self.advance)(state, executed)
+        reset_mask = done | trunc
+        new_state = jax.vmap(self.apply_reset)(
+            mid,
+            reset_mask,
+            self._sample_spawn_vec(kg, B, self.fixed_goal_zyx, self._valid_goal_zyx),
+            self._sample_spawn_vec(ka, B, self.fixed_agent_zyx, self._valid_agent_zyx),
+        )
+        obs = jax.vmap(self.observe)(new_state)
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return obs, new_state, rew, done, trunc, info

@@ -220,3 +220,25 @@ class RockSample(Environment[RockSampleState]):
         new_state = self.apply_reset(mid, reset_mask, rock_good_new)
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return self.observe(new_state), new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        state = RockSampleState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            pos_yx=jnp.broadcast_to(self._init_pos, (num_envs, 2)),
+            rock_good=jax.random.bernoulli(key, 0.5, (num_envs, self.k)),
+            reading=jnp.zeros(num_envs, jnp.int32),
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: RockSampleState, action: jax.Array):
+        B = action.shape[0]
+        ks, kr = jax.random.split(key)
+        mid, rew, done, trunc = jax.vmap(self.advance)(
+            state, action, jax.random.uniform(ks, (B,))
+        )
+        reset_mask = done | trunc
+        rock_good_new = jax.random.bernoulli(kr, 0.5, (B, self.k))
+        new_state = jax.vmap(self.apply_reset)(mid, reset_mask, rock_good_new)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return jax.vmap(self.observe)(new_state), new_state, rew, done, trunc, info

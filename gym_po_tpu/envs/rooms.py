@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import table_gather
 from ..core import Discrete, Environment, EnvState
 from ..maps.layouts import LAYOUT_NAMES, layout_end, layout_grid, layout_start
 from ..obs.observations import make_rooms_obs
@@ -68,6 +69,8 @@ class Rooms(Environment[RoomsState]):
         self.goal_reward = float(goal_reward)
 
         self._grid = jnp.asarray(grid, jnp.int32)
+        self._grid_flat = jnp.asarray(grid.reshape(-1), jnp.int32)
+        self._W = grid.shape[1]
         actions = ACTIONS_CARDINAL if action_type == "cardinal" else ACTIONS_ORDINAL
         self._actions = jnp.asarray(actions, jnp.int32)
         self.num_actions = actions.shape[0]
@@ -120,7 +123,9 @@ class Rooms(Environment[RoomsState]):
         """Deterministic move + reward (reference rooms.py:208-220)."""
         elapsed = state.elapsed + 1
         proposed = state.agent_yx + self._actions[executed]
-        oob = self._grid[proposed[0], proposed[1]] == -1
+        oob = table_gather(
+            self._grid_flat, proposed[..., 0] * self._W + proposed[..., 1]
+        ) == -1
         agent = jnp.where(oob, state.agent_yx, proposed)
         done = (agent == state.goal_yx).all(-1)
         rew = jnp.where(
@@ -183,5 +188,38 @@ class Rooms(Environment[RoomsState]):
             mid, reset_mask, self.sample_goal(kg), self.sample_agent(ka)
         )
         obs = self.observe(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    def _sample_spawn_vec(self, key: jax.Array, num: int, fixed) -> jax.Array:
+        if fixed is not None:
+            return jnp.broadcast_to(jnp.asarray(fixed, jnp.int32), (num, 2))
+        idx = jax.random.randint(key, (num,), 0, self._valid_yx.shape[0])
+        return self._valid_yx[idx]
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        kg, ka = jax.random.split(key)
+        state = RoomsState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            agent_yx=self._sample_spawn_vec(ka, num_envs, self.fixed_agent_yx),
+            goal_yx=self._sample_spawn_vec(kg, num_envs, self.fixed_goal_yx),
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: RoomsState, action: jax.Array):
+        B = action.shape[0]
+        ku, kg, ka = jax.random.split(key, 3)
+        u = jax.random.uniform(ku, (B,))
+        executed = jax.vmap(self.exec_action)(action, u)
+        mid, rew, done, trunc = jax.vmap(self.advance)(state, executed)
+        reset_mask = done | trunc
+        new_state = jax.vmap(self.apply_reset)(
+            mid,
+            reset_mask,
+            self._sample_spawn_vec(kg, B, self.fixed_goal_yx),
+            self._sample_spawn_vec(ka, B, self.fixed_agent_yx),
+        )
+        obs = jax.vmap(self.observe)(new_state)
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return obs, new_state, rew, done, trunc, info

@@ -25,6 +25,7 @@ import numpy as np
 from flax import struct
 
 from ..core import Discrete, Environment, EnvState
+from ..ops import assert_one_hot_exact, table_gather
 from ..maps.taxi_maps import (
     EV_BAD,
     EV_GOAL,
@@ -93,6 +94,15 @@ class Taxi(Environment[TaxiState]):
         self._event = jnp.asarray(t.event)
         self._valid_init = jnp.asarray(t.valid_init)
         self._hansen_obs = jnp.asarray(t.hansen_obs)
+        # transition gathers are the hot path: pack (next_s, event) into one
+        # flat table so one lookup replaces two, and route small tables
+        # through the MXU one-hot path (gym_po_tpu.ops.table_gather)
+        packed = (t.next_s * 4 + t.event).reshape(-1)
+        assert_one_hot_exact(packed)
+        self._packed_trans = jnp.asarray(packed, jnp.int32)
+        # when every cell is navigable, episode-start states can be sampled
+        # arithmetically (r,c,p,d components) with zero gathers
+        self._all_cells_valid = bool((t.tgrid != "|").all())
 
         self._obs_n = t.n_hansen_obs if hansen_obs else t.ns
         self._action_space = Discrete(NUM_ACTIONS)
@@ -116,8 +126,9 @@ class Taxi(Environment[TaxiState]):
         Returns (mid_state, reward, done, truncated, task_completed).
         """
         elapsed = state.elapsed + 1
-        s2 = self._next_s[state.s, action]
-        ev = self._event[state.s, action]
+        packed = table_gather(self._packed_trans, state.s * NUM_ACTIONS + action)
+        s2 = packed >> 2
+        ev = packed & 3
         goal = ev == EV_GOAL
         completed = state.completed + goal.astype(jnp.int32)
         rew = jnp.where(
@@ -159,7 +170,7 @@ class Taxi(Environment[TaxiState]):
     def observe(self, state: TaxiState) -> jax.Array:
         """Full state id, or Hansen-coded partial obs (reference :366-372)."""
         if self.hansen:
-            return self._hansen_obs[state.s]
+            return table_gather(self._hansen_obs, state.s)
         return state.s
 
     # ------------------------------------------------------- random sampling
@@ -203,6 +214,51 @@ class Taxi(Environment[TaxiState]):
         s_new = self.sample_init_state(k_reset)
         reset_mask = done | trunc
         new_state = self.apply_full_reset(mid, reset_mask, s_new)
+        obs = self.observe(new_state)
+        info = {"terminal_state": mid, "reset_mask": reset_mask}
+        return obs, new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    # Every stage above is shape-polymorphic (gathers + elementwise), so the
+    # batched step needs no vmap at all — only [B]-shaped draws from one key.
+    def _sample_init_vec(self, key: jax.Array, num: int) -> jax.Array:
+        """[num] uniform valid episode-start states.
+
+        Zero-gather arithmetic path when every cell is navigable (both
+        shipped maps): sample r, c, p, d components directly — the uniform
+        product over (cells × p × d≠p) IS the valid-state distribution
+        (reference extended_taxi.py:205-218).
+        """
+        if not self._all_cells_valid:
+            idx = jax.random.randint(key, (num,), 0, self._valid_init.shape[0])
+            return self._valid_init[idx].astype(jnp.int32)
+        t = self.tables
+        kr_, kc_, kp_, kd_ = jax.random.split(key, 4)
+        r = jax.random.randint(kr_, (num,), 0, t.rows)
+        c = jax.random.randint(kc_, (num,), 0, t.cols)
+        p = jax.random.randint(kp_, (num,), 0, self.nlocs)
+        d0 = jax.random.randint(kd_, (num,), 0, self.nlocs - 1)
+        d = d0 + (d0 >= p)
+        return _encode(r, c, p, d, self.cols, self.nlocs).astype(jnp.int32)
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        zeros = jnp.zeros(num_envs, jnp.int32)
+        state = TaxiState(
+            elapsed=zeros, s=self._sample_init_vec(key, num_envs), completed=zeros
+        )
+        return self.observe(state), state
+
+    def step_vec(self, key: jax.Array, state: TaxiState, action: jax.Array):
+        B = action.shape[0]
+        kp, kd, kr = jax.random.split(key, 3)
+        mid, rew, done, trunc, task = self.advance(state, action)
+        p = jax.random.randint(kp, (B,), 0, self.nlocs)
+        d0 = jax.random.randint(kd, (B,), 0, self.nlocs - 1)
+        mid = self.apply_task_reset(mid, task, p, d0 + (d0 >= p))
+        reset_mask = done | trunc
+        new_state = self.apply_full_reset(
+            mid, reset_mask, self._sample_init_vec(kr, B)
+        )
         obs = self.observe(new_state)
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return obs, new_state, rew, done, trunc, info

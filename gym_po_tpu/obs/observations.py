@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.spaces import Box, Discrete, Space
+from ..ops import table_gather
 from ..utils.actions import ACTIONS_CARDINAL, ACTIONS_ORDINAL
 
 __all__ = [
@@ -64,7 +65,14 @@ def make_rooms_obs(
     continuous = cell_size is not None
     is_vector = "vector" in obs_type
     has_goal = "goal" in obs_type
-    grid_j = jnp.asarray(grid, jnp.int32)
+    # flat grid + MXU-routed lookups (gym_po_tpu.ops.table_gather): native
+    # 1-D gathers serialize on the TPU VPU; these grids are tiny
+    grid_flat = jnp.asarray(grid.reshape(-1), jnp.int32)
+    _W = grid.shape[-1]
+
+    def grid_at(yx):
+        """grid[yx[..., 0], yx[..., 1]] via the fast-gather path."""
+        return table_gather(grid_flat, yx[..., 0] * _W + yx[..., 1])
 
     if continuous:
         def to_cell(x):
@@ -80,8 +88,7 @@ def make_rooms_obs(
         mdp_low = 1
 
     def cell_val(x):
-        c = to_cell(x)
-        return grid_j[c[0], c[1]]
+        return grid_at(to_cell(x))
 
     if "room" in obs_type:
         n = n_room_states(grid)
@@ -105,17 +112,19 @@ def make_rooms_obs(
                     return agent
         else:
             n = n_discrete_states(grid)
-            sg = jnp.asarray(state_grid(grid), jnp.int32)
+            sg_flat = jnp.asarray(state_grid(grid).reshape(-1), jnp.int32)
+
+            def sg_at(yx):
+                return table_gather(sg_flat, yx[..., 0] * _W + yx[..., 1])
+
             if has_goal:
                 space = Discrete(int(n**2))
                 def obs(agent, goal):
-                    a, g = to_cell(agent), to_cell(goal)
-                    return sg[a[0], a[1]] + n * sg[g[0], g[1]]
+                    return sg_at(to_cell(agent)) + n * sg_at(to_cell(goal))
             else:
                 space = Discrete(int(n))
                 def obs(agent, goal):
-                    a = to_cell(agent)
-                    return sg[a[0], a[1]]
+                    return sg_at(to_cell(agent))
     elif "hansen" in obs_type:
         base_n = 8 if "8" in obs_type else 4
         offs = jnp.asarray(
@@ -125,7 +134,7 @@ def make_rooms_obs(
         def neighbor_vals(agent, goal):
             a, g = to_cell(agent), to_cell(goal)
             nb = a[None, :] + offs  # [k, 2]
-            vals = grid_j[nb[:, 0], nb[:, 1]]  # [k]
+            vals = grid_at(nb)  # [k]
             empty = (vals >= 0).astype(jnp.int32)
             is_goal = (nb == g[None, :]).all(-1)  # [k]
             return empty, is_goal
@@ -170,7 +179,7 @@ def make_rooms_obs(
             # invalid coords redirect to wall cell (0,0): reference :92-98
             coords = jnp.where(oob[:, None], 0, coords)
             is_goal = (coords == g[None, :]).all(-1)
-            vals = grid_j[coords[:, 0], coords[:, 1]]
+            vals = grid_at(coords)
             sq = jnp.where(is_goal, 2, (vals >= 0).astype(jnp.int32))
             return sq.reshape(obs_n, obs_n)
     else:

@@ -1,0 +1,3 @@
+from .gather import ONE_HOT_MAX_TABLE, assert_one_hot_exact, table_gather
+
+__all__ = ["table_gather", "ONE_HOT_MAX_TABLE", "assert_one_hot_exact"]

@@ -59,13 +59,11 @@ class VecEnv:
     # ------------------------------------------------------------ protocol
     @functools.partial(jax.jit, static_argnums=0)
     def reset(self, key: jax.Array) -> Tuple[jax.Array, EnvState]:
-        return jax.vmap(self.env.reset)(jax.random.split(key, self.num_envs))
+        return self.env.reset_vec(key, self.num_envs)
 
     @functools.partial(jax.jit, static_argnums=0)
     def step(self, key: jax.Array, state: EnvState, actions: jax.Array):
-        return jax.vmap(self.env.step)(
-            jax.random.split(key, self.num_envs), state, actions
-        )
+        return self.env.step_vec(key, state, actions)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"VecEnv({self.env!r}, num_envs={self.num_envs})"
@@ -113,11 +111,11 @@ def rollout(
         space = env.action_space
 
         def policy(k, obs):  # noqa: F811 — uniform random policy
-            return jax.vmap(space.sample)(jax.random.split(k, obs.shape[0]))
+            return space.sample_vec(k, obs.shape[0])
 
     if init is None:
         key, kr = jax.random.split(key)
-        obs, state = jax.vmap(env.reset)(jax.random.split(kr, num_envs))
+        obs, state = env.reset_vec(kr, num_envs)
     else:
         obs, state = init
 
@@ -125,9 +123,7 @@ def rollout(
         key, obs, state = carry
         key, ka, ks = jax.random.split(key, 3)
         actions = policy(ka, obs)
-        nobs, nstate, rew, done, trunc, info = jax.vmap(env.step)(
-            jax.random.split(ks, num_envs), state, actions
-        )
+        nobs, nstate, rew, done, trunc, info = env.step_vec(ks, state, actions)
         if not keep_infos:
             info = {}
         return (key, nobs, nstate), Transition(obs, actions, rew, done, trunc, info)
@@ -183,9 +179,30 @@ class RecordEpisodeStatistics(Environment):
         )
 
     def step_env(self, key: jax.Array, state: EpisodeStatsState, action: jax.Array):
-        obs, inner, rew, done, trunc, info = self.env.step(
-            key, state.env_state, action
+        out = self.env.step(key, state.env_state, action)
+        return self._account(state, out)
+
+    # the accumulator arithmetic is shape-polymorphic, so the batched fast
+    # path simply delegates to the inner env's batched step
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        obs, inner = self.env.reset_vec(key, num_envs)
+        zf = jnp.zeros(num_envs, jnp.float32)
+        zi = jnp.zeros(num_envs, jnp.int32)
+        return obs, EpisodeStatsState(
+            elapsed=inner.elapsed,
+            env_state=inner,
+            episode_return=zf,
+            episode_length=zi,
+            returned_return=zf,
+            returned_length=zi,
         )
+
+    def step_vec(self, key: jax.Array, state: EpisodeStatsState, action: jax.Array):
+        out = self.env.step_vec(key, state.env_state, action)
+        return self._account(state, out)
+
+    def _account(self, state: EpisodeStatsState, out):
+        obs, inner, rew, done, trunc, info = out
         fin = done | trunc
         ret = state.episode_return + rew.astype(jnp.float32)
         length = state.episode_length + 1
