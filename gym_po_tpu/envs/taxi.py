@@ -94,12 +94,25 @@ class Taxi(Environment[TaxiState]):
         self._event = jnp.asarray(t.event)
         self._valid_init = jnp.asarray(t.valid_init)
         self._hansen_obs = jnp.asarray(t.hansen_obs)
-        # transition gathers are the hot path: pack (next_s, event) into one
-        # flat table so one lookup replaces two, and route small tables
-        # through the MXU one-hot path (gym_po_tpu.ops.table_gather)
-        packed = (t.next_s * 4 + t.event).reshape(-1)
-        assert_one_hot_exact(packed)
-        self._packed_trans = jnp.asarray(packed, jnp.int32)
+        # transition gathers are the hot path.  The full [ns,5] state table
+        # factors through the cell: movement only changes (r,c) and
+        # pickup/dropoff only consults which landmark is at (r,c), so two
+        # TINY tables (cell_move [cells*4], loc_at [cells]) + integer codec
+        # arithmetic replace the big gather — both ride the MXU one-hot path
+        # (gym_po_tpu.ops.table_gather).
+        ncells = t.rows * t.cols
+        pd = (t.nlocs + 1) * t.nlocs
+        s0 = np.arange(ncells, dtype=np.int64) * pd  # states with p=0, d=0
+        cell_move = t.next_s[s0][:, :4] // pd  # [cells, 4] -> new cell
+        assert_one_hot_exact(cell_move)
+        self._cell_move = jnp.asarray(cell_move.reshape(-1), jnp.int32)
+        loc_at = np.full(ncells, t.nlocs, np.int64)  # sentinel: no landmark
+        lm = t.np_locs[: t.nlocs]
+        loc_at[lm[:, 0] * t.cols + lm[:, 1]] = np.arange(t.nlocs)
+        self._loc_at = jnp.asarray(loc_at, jnp.int32)
+        # Hansen obs = (wall_code[r,c]*(nlocs+1)+p)*nlocs+d — also cell-level
+        self._hansen_cell = jnp.asarray(t.hansen_grid.reshape(-1), jnp.int32)
+        self._pd = pd
         # when every cell is navigable, episode-start states can be sampled
         # arithmetically (r,c,p,d components) with zero gathers
         self._all_cells_valid = bool((t.tgrid != "|").all())
@@ -126,15 +139,27 @@ class Taxi(Environment[TaxiState]):
         Returns (mid_state, reward, done, truncated, task_completed).
         """
         elapsed = state.elapsed + 1
-        packed = table_gather(self._packed_trans, state.s * NUM_ACTIONS + action)
-        s2 = packed >> 2
-        ev = packed & 3
-        goal = ev == EV_GOAL
+        # decode cell / passenger / destination (reference :84-94)
+        rc = state.s // self._pd
+        rem = state.s % self._pd
+        p = rem // self.nlocs
+        d = rem % self.nlocs
+        # movement actions 0-3 via the cell-level table
+        rc_mv = table_gather(self._cell_move, rc * 4 + jnp.minimum(action, 3))
+        # pickup/dropoff action 4 (reference :262-275)
+        is_pd = action == NUM_ACTIONS - 1
+        loc = table_gather(self._loc_at, rc)
+        goal = is_pd & (p == self.nlocs) & (loc == d)
+        pickup = is_pd & (p < self.nlocs) & (loc == p)
+        bad = is_pd & ~goal & ~pickup
+        p2 = jnp.where(pickup, self.nlocs, p)
+        rc2 = jnp.where(is_pd, rc, rc_mv)
+        s2 = (rc2 * (self.nlocs + 1) + p2) * self.nlocs + d
         completed = state.completed + goal.astype(jnp.int32)
         rew = jnp.where(
             goal,
             jnp.float32(self.reward_goal),
-            jnp.where(ev == EV_BAD, jnp.float32(self.reward_bad), jnp.float32(self.reward_any)),
+            jnp.where(bad, jnp.float32(self.reward_bad), jnp.float32(self.reward_any)),
         )
         done = completed == self.num_passengers
         trunc = elapsed > self.time_limit  # strict >, reference :279
@@ -168,9 +193,18 @@ class Taxi(Environment[TaxiState]):
         )
 
     def observe(self, state: TaxiState) -> jax.Array:
-        """Full state id, or Hansen-coded partial obs (reference :366-372)."""
+        """Full state id, or Hansen-coded partial obs (reference :366-372).
+
+        Hansen obs = (wall_code[cell]*(nlocs+1)+p)*nlocs+d — computed from
+        the cell-level wall-code table + codec arithmetic (no [ns] gather).
+        """
         if self.hansen:
-            return table_gather(self._hansen_obs, state.s)
+            rc = state.s // self._pd
+            rem = state.s % self._pd
+            h = table_gather(self._hansen_cell, rc)
+            return (h * (self.nlocs + 1) + rem // self.nlocs) * self.nlocs + (
+                rem % self.nlocs
+            )
         return state.s
 
     # ------------------------------------------------------- random sampling
