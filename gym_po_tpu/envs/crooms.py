@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import table_gather
+from ..ops import row_gather, table_gather
 from ..core import Box, Discrete, Environment, EnvState
 from ..maps.layouts import LAYOUT_NAMES, layout_end, layout_grid, layout_start
 from ..obs.observations import make_rooms_obs
@@ -310,7 +310,7 @@ class CRooms(Environment[CRoomsState]):
         if fixed is not None:
             return jnp.broadcast_to(jnp.asarray(fixed, dtype), (num, 2))
         idx = jax.random.randint(key, (num,), 0, self._valid_coord.shape[0])
-        return self._valid_coord[idx].astype(dtype)
+        return row_gather(self._valid_coord, idx).astype(dtype)
 
     def _sample_effective_vec(self, key, action: jax.Array) -> jax.Array:
         B = action.shape[0]
@@ -319,8 +319,8 @@ class CRooms(Environment[CRoomsState]):
             return (action + noise) * self.action_power
         ku, kn = jax.random.split(key)
         u = jax.random.uniform(ku, (B,))
-        executed = jax.vmap(self._exec)(action, u)
-        disp = self._disp[executed]
+        executed = self._exec(action, u)  # polymorphic
+        disp = row_gather(self._disp, executed)
         if self.action_std:
             disp = disp + jax.random.normal(kn, (B, 2), disp.dtype) * self.action_std
         return disp * self.action_power

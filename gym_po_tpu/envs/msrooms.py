@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import table_gather
+from ..ops import row_gather, table_gather
 from ..core import Box, Discrete, Environment, EnvState, Space
 from ..utils.actions import (
     ACTIONS_CARDINAL_Z,
@@ -298,7 +298,7 @@ class MultistoryFourRooms(Environment[MSRoomsState]):
     ) -> Tuple[MSRoomsState, jax.Array, jax.Array, jax.Array]:
         """Move + stair transit + reward (reference msrooms.py:398-413)."""
         elapsed = state.elapsed + 1
-        proposed = state.agent_zyx + self._actions[executed]
+        proposed = state.agent_zyx + row_gather(self._actions, executed)
         cell = table_gather(
             self._grid_flat,
             proposed[..., 0] * self._HW + proposed[..., 1] * self._W3 + proposed[..., 2],
@@ -388,7 +388,7 @@ class MultistoryFourRooms(Environment[MSRoomsState]):
         if fixed is not None:
             return jnp.broadcast_to(jnp.asarray(fixed, jnp.int32), (num, 3))
         idx = jax.random.randint(key, (num,), 0, bank.shape[0])
-        return bank[idx]
+        return row_gather(bank, idx)
 
     def reset_vec(self, key: jax.Array, num_envs: int):
         kg, ka = jax.random.split(key)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import table_gather
+from ..ops import row_gather, table_gather
 from ..core import Discrete, Environment, EnvState
 from ..maps.layouts import LAYOUT_NAMES, layout_end, layout_grid, layout_start
 from ..obs.observations import make_rooms_obs
@@ -122,7 +122,7 @@ class Rooms(Environment[RoomsState]):
     ) -> Tuple[RoomsState, jax.Array, jax.Array, jax.Array]:
         """Deterministic move + reward (reference rooms.py:208-220)."""
         elapsed = state.elapsed + 1
-        proposed = state.agent_yx + self._actions[executed]
+        proposed = state.agent_yx + row_gather(self._actions, executed)
         oob = table_gather(
             self._grid_flat, proposed[..., 0] * self._W + proposed[..., 1]
         ) == -1
@@ -196,7 +196,7 @@ class Rooms(Environment[RoomsState]):
         if fixed is not None:
             return jnp.broadcast_to(jnp.asarray(fixed, jnp.int32), (num, 2))
         idx = jax.random.randint(key, (num,), 0, self._valid_yx.shape[0])
-        return self._valid_yx[idx]
+        return row_gather(self._valid_yx, idx)
 
     def reset_vec(self, key: jax.Array, num_envs: int):
         kg, ka = jax.random.split(key)

@@ -1,3 +1,8 @@
-from .gather import ONE_HOT_MAX_TABLE, assert_one_hot_exact, table_gather
+from .gather import (
+    ONE_HOT_MAX_TABLE,
+    assert_one_hot_exact,
+    row_gather,
+    table_gather,
+)
 
-__all__ = ["table_gather", "ONE_HOT_MAX_TABLE", "assert_one_hot_exact"]
+__all__ = ["table_gather", "row_gather", "ONE_HOT_MAX_TABLE", "assert_one_hot_exact"]

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["table_gather", "ONE_HOT_MAX_TABLE"]
+__all__ = ["table_gather", "row_gather", "ONE_HOT_MAX_TABLE"]
 
 # crossover vs native gather measured on TPU v5e (see module docstring)
 ONE_HOT_MAX_TABLE = 4096
@@ -43,6 +43,19 @@ def table_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
         oh, table.astype(jnp.float32), preferred_element_type=jnp.float32
     )
     return vals.astype(table.dtype)
+
+
+def row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """``table[idx]`` for a 2-D [ns, k] table (row lookup), MXU path when
+    profitable.  Same exactness contract as :func:`table_gather`."""
+    ns, _ = table.shape
+    if ns > ONE_HOT_MAX_TABLE:
+        return table[idx]
+    oh = jax.nn.one_hot(idx, ns, dtype=jnp.float32)
+    rows = jnp.matmul(
+        oh, table.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return rows.astype(table.dtype)
 
 
 def assert_one_hot_exact(table: np.ndarray) -> None:

@@ -63,10 +63,17 @@ def exec_action_np(cum: np.ndarray, actions: np.ndarray, u: np.ndarray) -> np.nd
 
 
 def make_exec_action(cum: np.ndarray):
-    """Jittable single-instance executed-action stage: (action, u) -> action'."""
+    """Jittable executed-action stage: (action, u) -> action'.
+
+    Shape-polymorphic (scalar or [B] leading axis); the failure-matrix row
+    lookup rides the MXU one-hot path (gym_po_tpu.ops.row_gather).
+    """
+    from ..ops import row_gather
+
     cum_j = jnp.asarray(cum, jnp.float32)
 
     def exec_action(action: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-        return (cum_j[action] < u).sum().astype(jnp.int32)
+        rows = row_gather(cum_j, action)  # [..., A]
+        return (rows < u[..., None]).sum(-1).astype(jnp.int32)
 
     return exec_action
