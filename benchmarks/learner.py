@@ -1,0 +1,67 @@
+"""PPO learner throughput: env-steps/s through the FULL Anakin update.
+
+One update = rollout_steps × num_envs env transitions + GAE + epochs ×
+minibatch gradient steps, all in one jitted program.  Prints one JSON line.
+
+Usage: python benchmarks/learner.py [--num-envs 32768] [--rollout 128]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, ".")
+import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.agents import PPOConfig, init_train_state, make_train_step  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="ExtendedHansenTaxi-v4")
+    p.add_argument("--num-envs", type=int, default=32768)
+    p.add_argument("--rollout", type=int, default=128)
+    p.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
+    p.add_argument("--updates", type=int, default=3)
+    p.add_argument("--windows", type=int, default=4)
+    p.add_argument("--shuffle", default="permute", choices=["permute", "roll", "none"])
+    args = p.parse_args()
+
+    env = gpt.make(args.env)
+    cfg = PPOConfig(
+        num_envs=args.num_envs,
+        rollout_steps=args.rollout,
+        hidden=tuple(args.hidden),
+        shuffle=args.shuffle,
+    )
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(env, net, cfg)
+    ts, m = step(ts)  # compile + warmup
+    jax.block_until_ready(m)
+
+    steps_per_update = cfg.num_envs * cfg.rollout_steps
+    rates = []
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        for _ in range(args.updates):
+            ts, m = step(ts)
+        jax.block_until_ready(m)
+        rates.append(steps_per_update * args.updates / (time.perf_counter() - t0))
+    rates.sort()
+    print(
+        json.dumps(
+            {
+                "metric": f"ppo_env_steps_per_s ({args.env}, B={args.num_envs}, "
+                f"T={args.rollout}, shuffle={args.shuffle}, 1 chip)",
+                "value": round(rates[len(rates) // 2]),
+                "unit": "steps/s",
+                "device": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

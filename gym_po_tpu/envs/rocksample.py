@@ -153,13 +153,16 @@ class RockSample(Environment[RockSampleState]):
         rock_good = jnp.where(is_sample & on_any, state.rock_good & ~at_rock,
                               state.rock_good)
 
-        # sensing: accuracy eta = 0.5 * (1 + 2^(-d/d0))
-        rpos = self._rocks[rock_idx]
-        diff = (state.pos_yx - rpos).astype(jnp.float32)
+        # sensing: accuracy eta = 0.5 * (1 + 2^(-d/d0)); the per-rock selects
+        # are one-hot contractions over k (k is tiny; native dynamic indexing
+        # serializes on the VPU under vmap)
+        ksel = jax.nn.one_hot(rock_idx, self.k, dtype=jnp.float32)  # [k]
+        rpos = jnp.matmul(ksel, self._rocks.astype(jnp.float32))
+        diff = state.pos_yx.astype(jnp.float32) - rpos
         dist = jnp.sqrt((diff * diff).sum())
         eta = 0.5 * (1.0 + jnp.exp2(-dist / self.d0))
         correct = sensor_u < eta
-        truth = state.rock_good[rock_idx]
+        truth = (ksel * state.rock_good).sum() > 0.5
         seen_good = jnp.where(correct, truth, ~truth)
         reading = jnp.where(
             is_check,
