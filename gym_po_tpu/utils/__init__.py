@@ -1,4 +1,5 @@
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .debug import assert_finite, checked
 from .profiling import Timer, annotate, steps_per_second, trace
 
 __all__ = [
@@ -9,4 +10,6 @@ __all__ = [
     "trace",
     "annotate",
     "Timer",
+    "checked",
+    "assert_finite",
 ]
