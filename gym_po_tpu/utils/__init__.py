@@ -1,3 +1,11 @@
+from .grid import (
+    DIRECTIONS_2D,
+    DIRECTIONS_3D,
+    coord_to_flat,
+    flat_to_coord,
+    hansen_indices,
+    surrounding_indices,
+)
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .debug import assert_finite, checked
 from .profiling import Timer, annotate, steps_per_second, trace
@@ -12,4 +20,10 @@ __all__ = [
     "Timer",
     "checked",
     "assert_finite",
+    "DIRECTIONS_2D",
+    "DIRECTIONS_3D",
+    "surrounding_indices",
+    "hansen_indices",
+    "flat_to_coord",
+    "coord_to_flat",
 ]
