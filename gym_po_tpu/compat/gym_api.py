@@ -75,8 +75,6 @@ class GymnasiumVecAdapter:
         self.render_mode = render_mode
         self._window = None
 
-        from ..core import batch_space as _bs
-
         self.single_observation_space = env.observation_space.to_gymnasium()
         self.single_action_space = env.action_space.to_gymnasium()
         import gymnasium.vector.utils as gvu

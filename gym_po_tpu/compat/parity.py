@@ -19,8 +19,6 @@ this harness, benchmarks pin perf mode.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

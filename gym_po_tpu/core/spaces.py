@@ -9,7 +9,7 @@ provides drop-in interop for users migrating from the reference API.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp

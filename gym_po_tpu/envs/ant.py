@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

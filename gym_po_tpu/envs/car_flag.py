@@ -24,7 +24,7 @@ Replicated reference behaviors (numerics preserved):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

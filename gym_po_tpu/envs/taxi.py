@@ -16,8 +16,7 @@ stages with draws mirrored bit-exactly from the reference's NumPy
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,6 @@ from flax import struct
 from ..core import Discrete, Environment, EnvState
 from ..ops import assert_one_hot_exact, table_gather
 from ..maps.taxi_maps import (
-    EV_BAD,
-    EV_GOAL,
     NUM_ACTIONS,
     TAXI_MAP,
     EXTENDED_TAXI_MAP,
