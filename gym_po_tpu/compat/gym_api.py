@@ -31,6 +31,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Sequence
 
+import gymnasium
 import jax
 import numpy as np
 
@@ -55,8 +56,13 @@ __all__ = [
 ]
 
 
-class GymnasiumVecAdapter:
-    """Stateful gymnasium-style vec-env view of a functional env."""
+class GymnasiumVecAdapter(gymnasium.Env):
+    """Stateful gymnasium-style vec-env view of a functional env.
+
+    Subclasses ``gymnasium.Env`` like the reference's vec envs (reference
+    ``extended_taxi.py:149``) so isinstance checks and gymnasium wrappers
+    work on it.
+    """
 
     metadata = {"render_modes": ["rgb_array", "human"], "render_fps": 5}
 
@@ -142,6 +148,12 @@ class GymnasiumVecAdapter:
 # --------------------------------------------------------------- concrete
 class TaxiVecEnv(GymnasiumVecAdapter):
     """Reference ``TaxiVecEnv`` surface (extended_taxi.py:149-230)."""
+
+    metadata = {"render_modes": ["rgb_array", "human"], "render_fps": 5,
+                "name": "Taxi"}
+    ACTIONS_YX = np.array([[-1, 0], [1, 0], [0, -1], [0, 1], [0, 0]], int)
+    ACTION_NAMES = ["North", "South", "West", "East", "Pickup/Dropoff"]
+    ACTION_DICT = {i: n for i, n in enumerate(ACTION_NAMES)}
 
     def __init__(
         self,
@@ -234,3 +246,9 @@ class DiscreteActionCarVecEnv(GymnasiumVecAdapter):
             num_envs,
             render_mode,
         )
+        nact = num_actions // 2
+        self.action_names = ["<" * i + ":" for i in reversed(range(1, nact + 1))] + [
+            ":" + ">" * i for i in range(1, nact + 1)
+        ]
+        if num_actions % 2 == 1:
+            self.action_names.insert(nact, ":")
