@@ -99,16 +99,24 @@ def main():
     args = p.parse_args()
 
     use_fused = not args.no_fused and "Taxi" in args.env
-    if use_fused:
+    # the remote-chip tunnel occasionally drops a request with
+    # FAILED_PRECONDITION; retry before falling back to the scan path
+    sps = label = None
+    attempts = (
+        [("fused-pallas", bench_fused)] * 2 + [("scan", bench_env)] * 2
+        if use_fused
+        else [("scan", bench_env)] * 3
+    )
+    last_err = None
+    for label_i, fn in attempts:
         try:
-            sps = bench_fused(args.env, args.batch, args.steps, args.iters)
-            label = "fused-pallas"
-        except Exception:
-            sps = bench_env(args.env, args.batch, args.steps, args.iters)
-            label = "scan"
-    else:
-        sps = bench_env(args.env, args.batch, args.steps, args.iters)
-        label = "scan"
+            sps = fn(args.env, args.batch, args.steps, args.iters)
+            label = label_i
+            break
+        except Exception as e:  # pragma: no cover - tunnel flakiness
+            last_err = e
+    if sps is None:
+        raise last_err
     print(
         json.dumps(
             {
