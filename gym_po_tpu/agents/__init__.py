@@ -1,4 +1,10 @@
 from .networks import ActorCritic, make_actor_critic
+from .ppo_rnn import (
+    RecurrentActorCritic,
+    RNNTrainState,
+    init_rnn_state,
+    make_rnn_train_step,
+)
 from .ppo import (
     PPOConfig,
     TrainState,
@@ -17,4 +23,8 @@ __all__ = [
     "make_train_step",
     "shard_train_state",
     "train",
+    "RecurrentActorCritic",
+    "RNNTrainState",
+    "init_rnn_state",
+    "make_rnn_train_step",
 ]

@@ -1,0 +1,106 @@
+"""Recurrent PPO: GRU policy over the POMDP suite."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gym_po_tpu as gpt
+from gym_po_tpu.agents.ppo import PPOConfig
+from gym_po_tpu.agents.ppo_rnn import (
+    RNNTrainState,
+    init_rnn_state,
+    make_rnn_train_step,
+)
+
+
+def test_rnn_step_runs_and_updates():
+    env = gpt.make("HansenTaxi-v4")
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, epochs=2, minibatches=2)
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0), hidden=16)
+    step = make_rnn_train_step(env, net, cfg)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.params)
+    ts, m = step(ts)
+    assert np.isfinite(float(m["loss"]))
+    assert int(ts.update_idx) == 1
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), before, ts.params
+    )
+    assert any(jax.tree.leaves(changed))
+    # hidden state is threaded and finite
+    assert np.isfinite(np.asarray(ts.hidden)).all()
+
+
+def test_rnn_hidden_resets_on_episode_end():
+    """Where an episode finished, the next step's GRU input hidden is zero."""
+    env = gpt.make("DiscreteCarFlag-v0", num_actions=3, time_limit=5)
+    cfg = PPOConfig(num_envs=8, rollout_steps=12, epochs=1, minibatches=1)
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0), hidden=8)
+    h = jnp.ones((8, 8), jnp.float32)
+    reset = jnp.array([True, False] * 4)
+    h2, pi, v = net.apply(ts.params, h, ts.env_obs, reset)
+    # reset rows start from zero hidden -> identical outputs for identical obs
+    obs = np.asarray(ts.env_obs)
+    h2 = np.asarray(h2)
+    # a no-reset row with nonzero carry differs from its reset twin
+    # (same obs would be required for exact equality; just check finiteness
+    # and that the reset path was taken by re-running with h=0)
+    h0 = jnp.zeros((8, 8), jnp.float32)
+    h2_zero, *_ = net.apply(ts.params, h0, ts.env_obs, jnp.zeros(8, bool))
+    np.testing.assert_allclose(
+        h2[np.asarray(reset)], np.asarray(h2_zero)[np.asarray(reset)], rtol=1e-6
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_rnn_anakin_on_mesh():
+    from gym_po_tpu.agents.ppo import shard_train_state  # noqa: F401
+    from gym_po_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    env = gpt.make("HansenTaxi-v4")
+    cfg = PPOConfig(num_envs=32, rollout_steps=8, epochs=1, minibatches=2)
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0), hidden=8)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    keys = jax.random.split(ts.key, 8)
+    ts = RNNTrainState(
+        params=jax.device_put(ts.params, rep),
+        opt_state=jax.device_put(ts.opt_state, rep),
+        env_obs=jax.device_put(ts.env_obs, shd),
+        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
+        hidden=jax.device_put(ts.hidden, shd),
+        prev_reset=jax.device_put(ts.prev_reset, shd),
+        key=jax.device_put(keys, shd),
+        update_idx=jax.device_put(ts.update_idx, rep),
+    )
+    step = make_rnn_train_step(env, net, cfg, mesh)
+    ts, m = step(ts)
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated
+    leaf = jax.tree.leaves(ts.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_rnn_learns_carflag_smoke():
+    """Memory matters on CarFlag; the GRU learner's reward should trend up."""
+    env = gpt.make("DiscreteCarFlag-v0", num_actions=3, time_limit=60)
+    cfg = PPOConfig(
+        num_envs=64,
+        rollout_steps=32,
+        epochs=4,
+        minibatches=4,
+        learning_rate=1e-3,
+        entropy_coef=0.003,
+    )
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(1), hidden=32)
+    step = make_rnn_train_step(env, net, cfg)
+    rewards = []
+    for _ in range(25):
+        ts, m = step(ts)
+        rewards.append(float(m["mean_reward"]))
+    assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) - 1e-4, rewards
