@@ -39,6 +39,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", action="store_true", help="shard over all devices")
     p.add_argument("--shuffle", default="roll", choices=["permute", "roll", "none"])
+    p.add_argument("--recurrent", action="store_true",
+                   help="GRU policy (memory for partially-observable tasks)")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--log-every", type=int, default=10)
     args = p.parse_args()
@@ -57,10 +59,19 @@ def main():
         mesh = make_mesh()
         print(f"mesh: {mesh}")
 
-    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
-    if mesh is not None:
-        ts = shard_train_state(ts, mesh)
-    step = make_train_step(env, net, cfg, mesh)
+    if args.recurrent:
+        from gym_po_tpu.agents import init_rnn_state, make_rnn_train_step
+
+        if mesh is not None:
+            raise SystemExit("--recurrent --mesh: shard RNNTrainState manually "
+                             "(see tests/test_ppo_rnn.py::test_rnn_anakin_on_mesh)")
+        net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(args.seed))
+        step = make_rnn_train_step(env, net, cfg)
+    else:
+        net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+        if mesh is not None:
+            ts = shard_train_state(ts, mesh)
+        step = make_train_step(env, net, cfg, mesh)
 
     steps_per_update = cfg.num_envs * cfg.rollout_steps
     t0 = time.perf_counter()
