@@ -1,3 +1,4 @@
+from .fused_rooms import make_fused_rooms_rollout
 from .fused_taxi import make_fused_taxi_rollout
 from .gather import (
     ONE_HOT_MAX_TABLE,
@@ -12,4 +13,5 @@ __all__ = [
     "ONE_HOT_MAX_TABLE",
     "assert_one_hot_exact",
     "make_fused_taxi_rollout",
+    "make_fused_rooms_rollout",
 ]
