@@ -4,6 +4,7 @@ from .ppo_rnn import (
     RNNTrainState,
     init_rnn_state,
     make_rnn_train_step,
+    shard_rnn_state,
 )
 from .ppo import (
     PPOConfig,
@@ -27,4 +28,5 @@ __all__ = [
     "RNNTrainState",
     "init_rnn_state",
     "make_rnn_train_step",
+    "shard_rnn_state",
 ]

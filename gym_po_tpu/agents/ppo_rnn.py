@@ -166,6 +166,27 @@ def _rnn_loss(params, net, seq: _Seq, config: PPOConfig):
     return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": ent}
 
 
+def shard_rnn_state(ts: RNNTrainState, mesh: Mesh, axis: str = "data") -> RNNTrainState:
+    """Anakin layout for the recurrent TrainState: params/opt replicated,
+    env fields + hidden + reset flags sharded, one PRNG key per device."""
+    from jax.sharding import NamedSharding
+
+    n = int(np.prod(list(mesh.shape.values())))
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    keys = jax.random.split(ts.key, n)
+    return RNNTrainState(
+        params=jax.device_put(ts.params, rep),
+        opt_state=jax.device_put(ts.opt_state, rep),
+        env_obs=jax.device_put(ts.env_obs, shd),
+        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
+        hidden=jax.device_put(ts.hidden, shd),
+        prev_reset=jax.device_put(ts.prev_reset, shd),
+        key=jax.device_put(keys, shd),
+        update_idx=jax.device_put(ts.update_idx, rep),
+    )
+
+
 def make_rnn_train_step(
     env: Environment,
     net: RecurrentActorCritic,
