@@ -61,12 +61,12 @@ def main():
 
     if args.recurrent:
         from gym_po_tpu.agents import init_rnn_state, make_rnn_train_step
+        from gym_po_tpu.agents.ppo_rnn import shard_rnn_state
 
-        if mesh is not None:
-            raise SystemExit("--recurrent --mesh: shard RNNTrainState manually "
-                             "(see tests/test_ppo_rnn.py::test_rnn_anakin_on_mesh)")
         net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(args.seed))
-        step = make_rnn_train_step(env, net, cfg)
+        if mesh is not None:
+            ts = shard_rnn_state(ts, mesh)
+        step = make_rnn_train_step(env, net, cfg, mesh)
     else:
         net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
         if mesh is not None:

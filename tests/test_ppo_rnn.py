@@ -55,27 +55,14 @@ def test_rnn_hidden_resets_on_episode_end():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_rnn_anakin_on_mesh():
-    from gym_po_tpu.agents.ppo import shard_train_state  # noqa: F401
+    from gym_po_tpu.agents.ppo_rnn import shard_rnn_state
     from gym_po_tpu.parallel import make_mesh
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = make_mesh(devices=jax.devices()[:8])
     env = gpt.make("HansenTaxi-v4")
     cfg = PPOConfig(num_envs=32, rollout_steps=8, epochs=1, minibatches=2)
     net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0), hidden=8)
-    rep = NamedSharding(mesh, P())
-    shd = NamedSharding(mesh, P("data"))
-    keys = jax.random.split(ts.key, 8)
-    ts = RNNTrainState(
-        params=jax.device_put(ts.params, rep),
-        opt_state=jax.device_put(ts.opt_state, rep),
-        env_obs=jax.device_put(ts.env_obs, shd),
-        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
-        hidden=jax.device_put(ts.hidden, shd),
-        prev_reset=jax.device_put(ts.prev_reset, shd),
-        key=jax.device_put(keys, shd),
-        update_idx=jax.device_put(ts.update_idx, rep),
-    )
+    ts = shard_rnn_state(ts, mesh)
     step = make_rnn_train_step(env, net, cfg, mesh)
     ts, m = step(ts)
     assert np.isfinite(float(m["loss"]))
