@@ -1,3 +1,4 @@
+from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
 from .fused_taxi import make_fused_taxi_rollout
 from .gather import (
@@ -14,4 +15,5 @@ __all__ = [
     "assert_one_hot_exact",
     "make_fused_taxi_rollout",
     "make_fused_rooms_rollout",
+    "make_fused_rocksample_rollout",
 ]
