@@ -1,12 +1,15 @@
-from .fused_rocksample import make_fused_rocksample_rollout
-from .fused_rooms import make_fused_rooms_rollout
-from .fused_taxi import make_fused_taxi_rollout
+# .gather must import first: the env modules (pulled in by the fused
+# kernels below) import row_gather/table_gather from this package.
 from .gather import (
     ONE_HOT_MAX_TABLE,
     assert_one_hot_exact,
     row_gather,
     table_gather,
 )
+from .fused_msrooms import make_fused_msrooms_rollout
+from .fused_rocksample import make_fused_rocksample_rollout
+from .fused_rooms import make_fused_rooms_rollout
+from .fused_taxi import make_fused_taxi_rollout
 
 __all__ = [
     "table_gather",
@@ -16,4 +19,5 @@ __all__ = [
     "make_fused_taxi_rollout",
     "make_fused_rooms_rollout",
     "make_fused_rocksample_rollout",
+    "make_fused_msrooms_rollout",
 ]
