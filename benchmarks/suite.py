@@ -58,21 +58,87 @@ def bench(name, kw, batch, steps, iters=3, windows=5):
     return rates[len(rates) // 2]
 
 
+def bench_fused(name, kw, batch, steps, iters=3, windows=5):
+    """Pallas fused kernels (taxi/rooms/msrooms/rocksample families)."""
+    import jax.numpy as jnp
+
+    from gym_po_tpu import ops
+
+    env = gpt.make(name, **kw)
+    key = jax.random.PRNGKey(0)
+    _, st = env.reset_vec(key, batch)
+    if "Taxi" in name:
+        run = ops.make_fused_taxi_rollout(env, batch, steps)
+        args0 = (st.s.reshape(-1, 128),)
+    elif name == "Rooms-v0":
+        GW = env.grid_np.shape[1]
+        run = ops.make_fused_rooms_rollout(env, batch, steps)
+        args0 = (
+            (st.agent_yx[:, 0] * GW + st.agent_yx[:, 1]).reshape(-1, 128).astype(jnp.int32),
+            (st.goal_yx[:, 0] * GW + st.goal_yx[:, 1]).reshape(-1, 128).astype(jnp.int32),
+        )
+    elif name == "MultistoryFourRooms-v0":
+        Z, H, GW = env.grid_np.shape
+        HW = H * GW
+        run = ops.make_fused_msrooms_rollout(env, batch, steps)
+        args0 = (
+            (st.agent_zyx[:, 0] * HW + st.agent_zyx[:, 1] * GW + st.agent_zyx[:, 2])
+            .reshape(-1, 128).astype(jnp.int32),
+            (st.goal_zyx[:, 0] * HW + st.goal_zyx[:, 1] * GW + st.goal_zyx[:, 2])
+            .reshape(-1, 128).astype(jnp.int32),
+        )
+    elif name == "RockSample-v0":
+        run = ops.make_fused_rocksample_rollout(env, batch, steps)
+        args0 = (
+            (st.pos_yx[:, 0] * env.cols + st.pos_yx[:, 1])
+            .reshape(-1, 128).astype(jnp.int32),
+            (st.rock_good.astype(jnp.int32) * (2 ** jnp.arange(env.k)))
+            .sum(-1).reshape(-1, 128).astype(jnp.int32),
+        )
+    else:
+        raise ValueError(f"no fused kernel for {name}")
+    seed = jnp.asarray([7], jnp.int32)
+    out = run(seed, *args0)
+    jax.block_until_ready(out[-1])
+    state = out[:-1]
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = run(seed + w * iters + i, *state)
+            state = out[:-1]
+        jax.block_until_ready(out[-1])
+        rates.append(batch * steps * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+", default=[4096, 65536])
     p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--fused", action="store_true",
+                   help="measure the Pallas fused kernels where available")
     args = p.parse_args()
     dev = jax.devices()[0].platform
     for name, kw in CONFIGS:
         for batch in args.batches:
-            sps = bench(name, kw, batch, args.steps)
+            if args.fused:
+                try:
+                    sps = bench_fused(name, kw, batch, args.steps)
+                    mode = "fused"
+                except ValueError:
+                    continue  # no fused kernel for this env
+            else:
+                sps = bench(name, kw, batch, args.steps)
+                mode = "scan"
             print(
                 json.dumps(
                     {
                         "env": name,
                         "kwargs": kw,
                         "batch": batch,
+                        "mode": mode,
                         "steps_per_s": round(sps),
                         "device": dev,
                     }
