@@ -87,6 +87,13 @@ def bench_fused(name, kw, batch, steps, iters=3, windows=5):
             (st.goal_zyx[:, 0] * HW + st.goal_zyx[:, 1] * GW + st.goal_zyx[:, 2])
             .reshape(-1, 128).astype(jnp.int32),
         )
+    elif name == "CRooms-v0":
+        run = ops.make_fused_crooms_rollout(env, batch, steps)
+        args0 = (
+            st.agent_yx[:, 0].reshape(-1, 128), st.agent_yx[:, 1].reshape(-1, 128),
+            st.vel_yx[:, 0].reshape(-1, 128), st.vel_yx[:, 1].reshape(-1, 128),
+            st.goal_yx[:, 0].reshape(-1, 128), st.goal_yx[:, 1].reshape(-1, 128),
+        )
     elif name == "RockSample-v0":
         run = ops.make_fused_rocksample_rollout(env, batch, steps)
         args0 = (

@@ -6,6 +6,7 @@ from .gather import (
     row_gather,
     table_gather,
 )
+from .fused_crooms import make_fused_crooms_rollout
 from .fused_msrooms import make_fused_msrooms_rollout
 from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
@@ -20,4 +21,5 @@ __all__ = [
     "make_fused_rooms_rollout",
     "make_fused_rocksample_rollout",
     "make_fused_msrooms_rollout",
+    "make_fused_crooms_rollout",
 ]
