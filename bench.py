@@ -88,7 +88,13 @@ def bench_fused(name: str, batch: int, steps: int, iters: int, windows: int = 5)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="HansenTaxi-v4")
-    p.add_argument("--batch", type=int, default=65536)
+    p.add_argument(
+        "--batch",
+        type=int,
+        default=0,
+        help="env batch; default 1M for the fused kernel (VPU-bound, grid "
+        "overhead amortizes), 64k for the scan path",
+    )
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument(
@@ -99,6 +105,8 @@ def main():
     args = p.parse_args()
 
     use_fused = not args.no_fused and "Taxi" in args.env
+    if args.batch == 0:
+        args.batch = 1048576 if use_fused else 65536
     # the remote-chip tunnel occasionally drops a request with
     # FAILED_PRECONDITION; retry before falling back to the scan path
     sps = label = None
