@@ -80,7 +80,8 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
     def kernel(seed_ref, py_r, px_r, vy_r, vx_r, gy_r, gx_r, wall_r_, valid_r_,
                *outs):
         o_py, o_px, o_vy, o_vx, o_gy, o_gx, rew_ref = outs
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # large-prime stride keeps tile streams disjoint across nearby seeds
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def shuffle(lane_idx, row):
             return jnp.take_along_axis(

@@ -89,7 +89,8 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
 
     def kernel(seed_ref, a_ref, g_ref, cell_r, ab_r, gb_r, disp_r,
                out_a, out_g, rew_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # large-prime stride keeps tile streams disjoint across nearby seeds
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def shuffle(lane_idx, row):
             return jnp.take_along_axis(

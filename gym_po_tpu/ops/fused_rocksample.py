@@ -81,7 +81,8 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
 
     def kernel(seed_ref, pos_ref, mask_ref, ra_r, ry_r, rx_r,
                out_pos, out_mask, rew_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # large-prime stride keeps tile streams disjoint across nearby seeds
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def shuffle(idx, row_ref):
             return jnp.take_along_axis(

@@ -58,20 +58,11 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
     A = env.num_actions
     disp = np.asarray(env._actions)  # [A, 2] (dy, dx)
     disp_flat = disp[:, 0] * GW + disp[:, 1]  # displacement in flat cells
-    p_fail = float(env._cum[0, 0] if A else 0)  # cum[0,0] = 1 - p... derive:
-    # failure probability: off-diagonal mass = p (reference rooms.py)
-    from ..utils.actions import failure_matrix
-
-    # recover p from the matrix the env compiled with
-    fm = env._cum  # row cumsum of the failure matrix
-    p_keep = float(np.diff(np.concatenate([[0.0], fm[0]]))[0])  # P(a'=0|a=0)
-    p_fail = 1.0 - p_keep
+    # recover the failure probability from the compiled cumsum matrix:
+    # cum[0, 0] = P(executed=0 | commanded=0) = 1 - p
+    p_fail = 1.0 - float(env._cum[0][0])
     step_r, wall_r, goal_r = env.step_reward, env.wall_reward, env.goal_reward
     time_limit = env.time_limit
-    if env.fixed_agent_yx is not None or env.fixed_goal_yx is None:
-        # fused path implemented for the benchmark config: random agent,
-        # random goal (goal_xy=None). Fixed spawns fall back to the scan path.
-        pass
 
     fixed_goal = env.fixed_goal_yx
     fixed_agent = env.fixed_agent_yx
@@ -104,7 +95,8 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
 
     def kernel(seed_ref, a_ref, g_ref, wall_r_, valid_r_, disp_r_,
                out_a, out_g, rew_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # large-prime stride keeps tile streams disjoint across nearby seeds
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def shuffle(lane_idx, row):  # row: [1? n, W] -> broadcast one row
             return jnp.take_along_axis(

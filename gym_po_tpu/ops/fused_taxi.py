@@ -94,7 +94,8 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
     def kernel(seed_ref, s_ref, *refs):
         cm_refs = refs[: len(cm_tables)]
         la_r, vc_r, out_ref, rew_ref = refs[len(cm_tables) :]
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # large-prime stride keeps tile streams disjoint across nearby seeds
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
         cm_b = [jnp.broadcast_to(r[:], (R, W)) for r in cm_refs]
         la_b = jnp.broadcast_to(la_r[:], (R, W))
         vc_b = jnp.broadcast_to(vc_r[:], (R, W))
