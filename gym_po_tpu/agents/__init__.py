@@ -1,4 +1,5 @@
 from .networks import ActorCritic, make_actor_critic
+from .qlearning import QConfig, greedy_policy, q_learning
 from .ppo_rnn import (
     RecurrentActorCritic,
     RNNTrainState,
@@ -29,4 +30,7 @@ __all__ = [
     "init_rnn_state",
     "make_rnn_train_step",
     "shard_rnn_state",
+    "QConfig",
+    "q_learning",
+    "greedy_policy",
 ]
