@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,6 +183,63 @@ def make_rooms_obs(
             vals = grid_at(coords)
             sq = jnp.where(is_goal, 2, (vals >= 0).astype(jnp.int32))
             return sq.reshape(obs_n, obs_n)
+    elif "lidar" in obs_type:
+        # The reference DECLARES this obs type but never implements it
+        # (reference crooms.py:139 docstring: "TODO: 'lidar': [bins+2,]
+        # vector of range to nearest wall, then 2D for relative xy position
+        # of goal").  Implemented here for the continuous envs: fixed-angle
+        # DDA ray-march against the wall grid, fixed iteration count
+        # (jit-safe), plus the relative goal offset.
+        if not continuous:
+            raise NotImplementedError("lidar obs requires a continuous env")
+        bins = obs_n if obs_n > 2 else 8
+        H, Wg = grid.shape
+        max_range = float(np.hypot(H, Wg)) * (cell_size or 1.0)
+        step_len = 0.5 * (cell_size or 1.0)
+        n_march = int(np.ceil(max_range / step_len))
+        angles = np.linspace(0.0, 2 * np.pi, bins, endpoint=False)
+        dirs = jnp.asarray(
+            np.stack([np.sin(angles), np.cos(angles)], -1), jnp.float32
+        )  # [bins, 2] (dy, dx)
+        space = Box(
+            np.concatenate([np.zeros(bins), -np.asarray(a_max, np.float64)]),
+            np.concatenate([np.full(bins, max_range), np.asarray(a_max, np.float64)]),
+            (bins + 2,),
+            dtype=jnp.float32,
+        )
+
+        def ray_ranges(agent):
+            pos = agent.astype(jnp.float32)  # [2]
+
+            def march(carry, t):
+                hit_t = carry
+                probe = pos[None, :] + dirs * t  # [bins, 2]
+                cy = jnp.clip(
+                    jnp.floor(probe[:, 0] / (cell_size or 1.0)), 0, H - 1
+                ).astype(jnp.int32)
+                cx = jnp.clip(
+                    jnp.floor(probe[:, 1] / (cell_size or 1.0)), 0, Wg - 1
+                ).astype(jnp.int32)
+                inside = (
+                    (probe[:, 0] >= 0)
+                    & (probe[:, 0] < H * (cell_size or 1.0))
+                    & (probe[:, 1] >= 0)
+                    & (probe[:, 1] < Wg * (cell_size or 1.0))
+                )
+                wall = (table_gather(grid_flat, cy * _W + cx) < 0) | ~inside
+                hit_t = jnp.where(wall & (t < hit_t), t, hit_t)
+                return hit_t, None
+
+            ts = jnp.arange(1, n_march + 1, dtype=jnp.float32) * step_len
+            hit_t, _ = jax.lax.scan(
+                march, jnp.full((bins,), max_range, jnp.float32), ts
+            )
+            return hit_t
+
+        def obs(agent, goal):
+            ranges = ray_ranges(agent)
+            rel = (goal - agent).astype(jnp.float32)
+            return jnp.concatenate([ranges, rel])
     else:
         raise NotImplementedError(f"Observation type {obs_type!r} not recognized")
 
