@@ -127,9 +127,29 @@ class CRooms(Environment[CRoomsState]):
 
         # param is named ``obs_m`` to mirror the reference exactly
         # (reference crooms.py:112 uses obs_m; rooms.py:90/msrooms.py:273 use obs_n)
+        # 'vel' in obs_type appends the velocity to any VECTOR obs — the
+        # reference declares this but never implements it (reference
+        # crooms.py:131: "TODO: Velocity as part of observation")
+        self.obs_includes_velocity = "vel" in obs_type.replace("velocity", "vel")
+        base_obs_type = obs_type.replace("velocity", "").replace("vel", "")
+        base_obs_type = base_obs_type.strip("_") or "mdp"
         self._observation_space, self._obs_fn = make_rooms_obs(
-            obs_type, grid, obs_m, cell_size=self.cell_size
+            base_obs_type, grid, obs_m, cell_size=self.cell_size
         )
+        if self.obs_includes_velocity:
+            from ..core import Box as _Box
+
+            sp = self._observation_space
+            if not hasattr(sp, "low_arr") or len(sp.shape) != 1:
+                raise NotImplementedError(
+                    "'vel' obs flag requires a 1-D vector obs_type"
+                )
+            self._observation_space = _Box(
+                np.concatenate([sp.low_arr, [-MAX_VELOCITY, -MAX_VELOCITY]]),
+                np.concatenate([sp.high_arr, [MAX_VELOCITY, MAX_VELOCITY]]),
+                (sp.shape[0] + 2,),
+                dtype=sp.dtype,
+            )
 
         self.valid_states = np.flatnonzero(grid >= 0)
         valid_yx = np.stack(np.unravel_index(self.valid_states, grid.shape), -1)
@@ -249,7 +269,12 @@ class CRooms(Environment[CRoomsState]):
         )
 
     def observe(self, state: CRoomsState) -> jax.Array:
-        return self._obs_fn(state.agent_yx, state.goal_yx)
+        base = self._obs_fn(state.agent_yx, state.goal_yx)
+        if self.obs_includes_velocity:
+            return jnp.concatenate(
+                [base.astype(jnp.float32), state.vel_yx.astype(jnp.float32)], -1
+            )
+        return base
 
     # ------------------------------------------------------- random sampling
     def sample_goal(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:

@@ -55,3 +55,23 @@ def test_lidar_steps_under_jit():
 def test_lidar_requires_continuous():
     with pytest.raises(NotImplementedError):
         gpt.make("Rooms-v0", layout="4", obs_type="lidar")
+
+
+def test_velocity_in_obs_flag():
+    """'vel' obs flag (reference crooms.py:131 TODO) appends velocity."""
+    env = gpt.make("CRooms-v0", layout="4", obs_type="vector_mdp_goal_vel",
+                   use_velocity=True, goal_xy=None)
+    assert env.observation_space.shape == (6,)
+    key = jax.random.PRNGKey(0)
+    obs, st = env.reset_vec(key, 8)
+    step = jax.jit(env.step_vec)
+    for _ in range(10):
+        key, ka, ks = jax.random.split(key, 3)
+        a = env.action_space.sample_vec(ka, 8)
+        obs, st, r, d, tr, _ = step(ks, st, a)
+    np.testing.assert_allclose(
+        np.asarray(obs)[:, 4:], np.asarray(st.vel_yx), rtol=1e-6
+    )
+    # discrete base obs rejects the flag
+    with pytest.raises(NotImplementedError):
+        gpt.make("CRooms-v0", layout="4", obs_type="mdp_vel")
