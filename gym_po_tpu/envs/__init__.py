@@ -4,6 +4,12 @@ from .crooms import CRooms, CRoomsState
 from .msrooms import MultistoryFourRooms, MSRoomsState
 from .car_flag import CarFlag, DiscreteCarFlag, CarFlagState
 from .rocksample import RockSample, RockSampleState
+from .tag_jax import (
+    HeavenHellContinuous,
+    HeavenHellState,
+    TagContinuous,
+    TagState,
+)
 
 try:  # MuJoCo ant envs need the host mujoco runtime
     from .ant import AntHeavenHellEnv, AntTagEnv
@@ -28,4 +34,8 @@ __all__ = [
     "MSRoomsState",
     "RockSample",
     "RockSampleState",
+    "TagContinuous",
+    "TagState",
+    "HeavenHellContinuous",
+    "HeavenHellState",
 ]

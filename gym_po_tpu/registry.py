@@ -85,5 +85,18 @@ def _register_defaults() -> None:
 
     register("RockSample-v0", _rocksample)
 
+    def _tag(**kw):
+        from .envs.tag_jax import TagContinuous
+
+        return TagContinuous(**kw)
+
+    def _hh(**kw):
+        from .envs.tag_jax import HeavenHellContinuous
+
+        return HeavenHellContinuous(**kw)
+
+    register("TagContinuous-v0", _tag)
+    register("HeavenHellContinuous-v0", _hh)
+
 
 _register_defaults()
