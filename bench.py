@@ -49,13 +49,17 @@ def bench_env(
     init, s = run(key, init)
     jax.block_until_ready(s)
 
+    _ = float(s)  # settle the pipeline; scalar fetch is the honest sync
     rates = []
     for w in range(windows):
         t0 = time.perf_counter()
         for i in range(iters):
             key = jax.random.fold_in(key, w * iters + i)
             init, s = run(key, init)
-        jax.block_until_ready(s)
+        # NOTE: on the remote-chip tunnel, block_until_ready can return
+        # before execution completes for some programs; fetching a scalar
+        # VALUE through the data dependency is the only honest sync.
+        _ = float(s)
         rates.append(batch * steps * iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]
@@ -73,13 +77,13 @@ def bench_fused(name: str, batch: int, steps: int, iters: int, windows: int = 5)
     s = st.s.reshape(-1, 128)
     seed = jnp.asarray([7], jnp.int32)
     s, rew = run(seed, s)
-    jax.block_until_ready(rew)
+    _ = float(jnp.sum(rew))  # scalar-fetch sync (see bench_env note)
     rates = []
     for w in range(windows):
         t0 = time.perf_counter()
         for i in range(iters):
             s, rew = run(seed + w * iters + i, s)
-        jax.block_until_ready(rew)
+        _ = float(jnp.sum(rew))
         rates.append(batch * steps * iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]

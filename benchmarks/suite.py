@@ -31,6 +31,8 @@ CONFIGS = [
                                 "goal_xyz": None}),
     ("DiscreteCarFlag-v0", {"num_actions": 5}),
     ("RockSample-v0", {"map_size": (7, 7), "num_rocks": 8}),
+    ("TagContinuous-v0", {}),
+    ("HeavenHellContinuous-v0", {}),
 ]
 
 
@@ -46,13 +48,14 @@ def bench(name, kw, batch, steps, iters=3, windows=5):
 
     init = jax.jit(lambda k: env.reset_vec(k, batch))(key)
     init, s = run(key, init)  # compile + warmup
-    jax.block_until_ready(s)
+    _ = float(s)  # scalar-fetch sync: on the remote tunnel,
+    # block_until_ready can return before execution completes
     rates = []
     for w in range(windows):
         t0 = time.perf_counter()
         for i in range(iters):
             init, s = run(jax.random.fold_in(key, w * iters + i), init)
-        jax.block_until_ready(s)
+        _ = float(s)
         rates.append(batch * steps * iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]
@@ -106,7 +109,7 @@ def bench_fused(name, kw, batch, steps, iters=3, windows=5):
         raise ValueError(f"no fused kernel for {name}")
     seed = jnp.asarray([7], jnp.int32)
     out = run(seed, *args0)
-    jax.block_until_ready(out[-1])
+    _ = float(jnp.sum(out[-1]))  # scalar-fetch sync
     state = out[:-1]
     rates = []
     for w in range(windows):
@@ -114,7 +117,7 @@ def bench_fused(name, kw, batch, steps, iters=3, windows=5):
         for i in range(iters):
             out = run(seed + w * iters + i, *state)
             state = out[:-1]
-        jax.block_until_ready(out[-1])
+        _ = float(jnp.sum(out[-1]))
         rates.append(batch * steps * iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]
