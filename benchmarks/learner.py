@@ -39,7 +39,8 @@ def main():
     net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
     step = make_train_step(env, net, cfg)
     ts, m = step(ts)  # compile + warmup
-    jax.block_until_ready(m)
+    _ = float(m["loss"])  # scalar-fetch sync (block_until_ready can lie
+    # on the remote tunnel)
 
     steps_per_update = cfg.num_envs * cfg.rollout_steps
     rates = []
@@ -47,7 +48,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.updates):
             ts, m = step(ts)
-        jax.block_until_ready(m)
+        _ = float(m["loss"])
         rates.append(steps_per_update * args.updates / (time.perf_counter() - t0))
     rates.sort()
     print(

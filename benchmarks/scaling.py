@@ -33,13 +33,13 @@ def bench(env, devices, local_envs, steps, iters=3, windows=4):
         return traj.reward.sum()
 
     s = run(key)
-    jax.block_until_ready(s)
+    _ = float(s)  # scalar-fetch sync
     rates = []
     for w in range(windows):
         t0 = time.perf_counter()
         for i in range(iters):
             s = run(jax.random.fold_in(key, w * iters + i))
-        jax.block_until_ready(s)
+        _ = float(s)
         rates.append(local_envs * n * steps * iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]
