@@ -155,6 +155,63 @@ class TagContinuous(Environment[TagState]):
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return self.observe(new_state), new_state, rew, done, trunc, info
 
+    # ------------------------------------------------------ batched fast path
+    def _sample_spawn_vec(self, key: jax.Array, num: int):
+        ka, kt = jax.random.split(key)
+        agent = jax.random.uniform(ka, (num, 2), jnp.float32, -CAGE, CAGE)
+        cands = jax.random.uniform(kt, (num, 8, 2), jnp.float32, -CAGE, CAGE)
+        dist2 = ((cands - agent[:, None]) ** 2).sum(-1)  # [num, 8]
+        ok = dist2 >= MIN_SPAWN_DIST**2
+        corners = jnp.array(
+            [[-CAGE, -CAGE], [-CAGE, CAGE], [CAGE, -CAGE], [CAGE, CAGE]],
+            jnp.float32,
+        )
+        cd = ((corners[None] - agent[:, None]) ** 2).sum(-1)  # [num, 4]
+        far = corners[jnp.argmax(cd, -1)]  # [num, 2]
+        idx = jnp.argmax(ok, -1)
+        picked = jnp.take_along_axis(cands, idx[:, None, None], 1)[:, 0]
+        target = jnp.where(ok.any(-1)[:, None], picked, far)
+        return agent, target
+
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        agent, target = self._sample_spawn_vec(key, num_envs)
+        state = TagState(
+            elapsed=jnp.zeros(num_envs, jnp.int32),
+            agent_xy=agent,
+            target_xy=target,
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: TagState, action: jax.Array):
+        B = action.shape[0]
+        km, kr = jax.random.split(key)
+        force = jnp.clip(action.reshape(B, 2), -1.0, 1.0)
+        agent = jnp.clip(state.agent_xy + force * self.agent_speed, -CAGE, CAGE)
+        mode = jax.random.randint(km, (B,), 0, 4)
+        target = jax.vmap(self.move_target)(agent, state.target_xy, mode)
+        d2 = ((agent - target) ** 2).sum(-1)
+        done = d2 <= TAG_RADIUS**2
+        rew = done.astype(jnp.float32)
+        elapsed = state.elapsed + 1
+        trunc = elapsed >= self.time_limit
+        mid = TagState(elapsed=elapsed, agent_xy=agent, target_xy=target)
+        reset = done | trunc
+        na, nt = self._sample_spawn_vec(kr, B)
+        new_state = TagState(
+            elapsed=jnp.where(reset, 0, elapsed),
+            agent_xy=jnp.where(reset[:, None], na, agent),
+            target_xy=jnp.where(reset[:, None], nt, target),
+        )
+        info = {"terminal_state": mid, "reset_mask": reset}
+        return (
+            jax.vmap(self.observe)(new_state),
+            new_state,
+            rew,
+            done,
+            trunc,
+            info,
+        )
+
 
 # ----------------------------------------------------------- heaven/hell
 HH_SITES = np.array([[-6.25, 6.0], [6.25, 6.0], [0.0, 6.0]], np.float32)
@@ -259,3 +316,56 @@ class HeavenHellContinuous(Environment[HeavenHellState]):
         )
         info = {"terminal_state": mid, "reset_mask": reset_mask}
         return self.observe(new_state), new_state, rew, done, trunc, info
+
+    # ------------------------------------------------------ batched fast path
+    def reset_vec(self, key: jax.Array, num_envs: int):
+        kx, kh = jax.random.split(key)
+        xy = jax.random.uniform(kx, (num_envs, 2), jnp.float32) * jnp.asarray(
+            [2.0, 1.0]
+        ) + jnp.asarray([-1.0, 0.0])
+        hv = jax.random.bernoulli(kh, shape=(num_envs,))
+        state = HeavenHellState(
+            elapsed=jnp.zeros(num_envs, jnp.int32), agent_xy=xy, heaven_right=hv
+        )
+        return jax.vmap(self.observe)(state), state
+
+    def step_vec(self, key: jax.Array, state: HeavenHellState, action: jax.Array):
+        B = action.shape[0]
+        force = jnp.clip(action.reshape(B, 2), -1.0, 1.0)
+        proposed = state.agent_xy + force * self.agent_speed
+        ok = jax.vmap(self._in_free_space)(proposed)
+        agent = jnp.where(ok[:, None], proposed, state.agent_xy)
+        sites = jnp.asarray(HH_SITES)
+        d2 = ((agent[:, None, :] - sites[None]) ** 2).sum(-1)  # [B, 3]
+        at_left = d2[:, 0] <= HH_RADIUS**2
+        at_right = d2[:, 1] <= HH_RADIUS**2
+        done = at_left | at_right
+        reached_heaven = jnp.where(state.heaven_right, at_right, at_left)
+        rew = jnp.where(done, jnp.where(reached_heaven, 1.0, -1.0), 0.0).astype(
+            jnp.float32
+        )
+        elapsed = state.elapsed + 1
+        trunc = elapsed >= self.time_limit
+        mid = HeavenHellState(
+            elapsed=elapsed, agent_xy=agent, heaven_right=state.heaven_right
+        )
+        reset = done | trunc
+        kx, kh = jax.random.split(key)
+        nxy = jax.random.uniform(kx, (B, 2), jnp.float32) * jnp.asarray(
+            [2.0, 1.0]
+        ) + jnp.asarray([-1.0, 0.0])
+        nhv = jax.random.bernoulli(kh, shape=(B,))
+        new_state = HeavenHellState(
+            elapsed=jnp.where(reset, 0, elapsed),
+            agent_xy=jnp.where(reset[:, None], nxy, agent),
+            heaven_right=jnp.where(reset, nhv, state.heaven_right),
+        )
+        info = {"terminal_state": mid, "reset_mask": reset}
+        return (
+            jax.vmap(self.observe)(new_state),
+            new_state,
+            rew,
+            done,
+            trunc,
+            info,
+        )
