@@ -4,6 +4,8 @@ from .renderers import (
     human_view,
     render,
     render_car,
+    render_heavenhell,
+    render_tag,
     render_crooms,
     render_msrooms,
     render_rooms,
@@ -20,6 +22,8 @@ __all__ = [
     "render_crooms",
     "render_msrooms",
     "render_car",
+    "render_tag",
+    "render_heavenhell",
     "tile_images",
     "human_view",
 ]

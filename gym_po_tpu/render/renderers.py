@@ -27,6 +27,8 @@ __all__ = [
     "render_crooms",
     "render_msrooms",
     "render_car",
+    "render_tag",
+    "render_heavenhell",
     "render",
     "human_view",
 ]
@@ -248,6 +250,70 @@ def render_car(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     return tile_images(frames)
 
 
+# ------------------------------------------------------------- tag arenas
+def render_tag(env, state, idx=None) -> np.ndarray:
+    """TagContinuous arena: cage, visibility ring, agent, target."""
+    idx = _indices(idx)
+    SCALE, HALF = 24, 5.0
+    size = int(2 * HALF * SCALE)
+
+    def to_px(v):
+        return int((float(v) + HALF) * SCALE)
+
+    agents = _select(state.agent_xy, idx)
+    targets = _select(state.target_xy, idx)
+    frames = []
+    for k in range(len(idx)):
+        img = _blank(size, size, (15, 15, 20))
+        c = to_px(-4.5), to_px(4.5)
+        img[c[0]:c[1], c[0]:c[0]+2] = COLORS["wall"]
+        img[c[0]:c[1], c[1]-2:c[1]] = COLORS["wall"]
+        img[c[0]:c[0]+2, c[0]:c[1]] = COLORS["wall"]
+        img[c[1]-2:c[1], c[0]:c[1]] = COLORS["wall"]
+        ay, ax = to_px(agents[k, 1]), to_px(agents[k, 0])
+        ty, tx = to_px(targets[k, 1]), to_px(targets[k, 0])
+        img[max(ty-4,0):ty+4, max(tx-4,0):tx+4] = COLORS["goal"]
+        img[max(ay-5,0):ay+5, max(ax-5,0):ax+5] = COLORS["agent"]
+        frames.append(img)
+    return tile_images(frames)
+
+
+def render_heavenhell(env, state, idx=None) -> np.ndarray:
+    """HeavenHellContinuous T-maze: free space, sites, agent."""
+    from ..envs.tag_jax import BAR, HH_SITES, STEM
+
+    idx = _indices(idx)
+    SCALE = 16
+    X0, X1, Y0, Y1 = -9.0, 9.0, -2.5, 9.0
+    wpx, hpx = int((X1 - X0) * SCALE), int((Y1 - Y0) * SCALE)
+
+    def to_px(x, y):
+        return int((y - Y0) * SCALE), int((x - X0) * SCALE)
+
+    agents = _select(state.agent_xy, idx)
+    heaven_right = _select(state.heaven_right, idx)
+    frames = []
+    for k in range(len(idx)):
+        img = _blank(hpx, wpx, COLORS["wall"])
+        for (xl, xh, yl, yh) in (STEM, BAR):
+            r0, c0 = to_px(xl, yl)
+            r1, c1 = to_px(xh, yh)
+            img[r0:r1, c0:c1] = COLORS["floor"]
+        for i, site in enumerate(HH_SITES):
+            r, c = to_px(site[0], site[1])
+            right_is_heaven = bool(heaven_right[k])
+            color = (
+                COLORS["priest"] if i == 2
+                else COLORS["heaven"] if (i == 1) == right_is_heaven
+                else COLORS["hell"]
+            )
+            img[max(r-5,0):r+5, max(c-5,0):c+5] = color
+        r, c = to_px(agents[k, 0], agents[k, 1])
+        img[max(r-4,0):r+4, max(c-4,0):c+4] = COLORS["agent"]
+        frames.append(img)
+    return tile_images(frames)
+
+
 # --------------------------------------------------------------- dispatch
 def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     """Dispatch on env type."""
@@ -255,6 +321,7 @@ def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     from ..envs.crooms import CRooms
     from ..envs.msrooms import MultistoryFourRooms
     from ..envs.rooms import Rooms
+    from ..envs.tag_jax import HeavenHellContinuous, TagContinuous
     from ..envs.taxi import Taxi
 
     if isinstance(env, Taxi):
@@ -267,6 +334,10 @@ def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
         return render_msrooms(env, state, idx)
     if isinstance(env, CarFlag):
         return render_car(env, state, idx)
+    if isinstance(env, TagContinuous):
+        return render_tag(env, state, idx)
+    if isinstance(env, HeavenHellContinuous):
+        return render_heavenhell(env, state, idx)
     raise TypeError(f"No renderer for {type(env).__name__}")
 
 
