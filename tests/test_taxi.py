@@ -154,3 +154,27 @@ def test_multipassenger_parity():
         o, state, r, d, tr = drv.step(state, actions)
         assert (np.asarray(ro) == o).all() and (np.asarray(rr) == r).all()
         assert (np.asarray(rd) == d).all() and (np.asarray(rt) == tr).all()
+
+
+def test_extended_multipassenger_hansen_parity():
+    """Extended 8x8 map + 2 passengers + Hansen obs, crossing truncation."""
+    ref = load_reference_module("gym_po.envs.extended_taxi")
+    B, T, seed = 8, 260, 17
+    renv = ref.TaxiVecEnv(
+        B, map=EXTENDED_TAXI_MAP, num_passengers=2, hansen_obs=True,
+        time_limit=120,
+    )
+    env = Taxi(map=EXTENDED_TAXI_MAP, num_passengers=2, hansen_obs=True,
+               time_limit=120)
+    drv = TaxiParityDriver(env, B)
+    ref_obs, _ = renv.reset(seed=seed)
+    obs, state = drv.reset(seed)
+    assert (np.asarray(ref_obs) == obs).all()
+    arng = np.random.default_rng(3)
+    for t in range(T):
+        actions = arng.integers(0, 5, B)
+        ro, rr, rd, rt, _ = renv.step(actions)
+        o, state, r, d, tr = drv.step(state, actions)
+        assert (np.asarray(ro) == o).all(), f"obs t={t}"
+        assert (np.asarray(rr) == r).all(), f"rew t={t}"
+        assert (np.asarray(rd) == d).all() and (np.asarray(rt) == tr).all(), t
