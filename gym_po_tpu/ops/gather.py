@@ -45,8 +45,15 @@ def table_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     if ns > ONE_HOT_MAX_TABLE:
         return table[idx]
     oh = jax.nn.one_hot(idx, ns, dtype=jnp.float32)
+    # HIGHEST precision: the TPU MXU's default f32 mode rounds operands
+    # through bf16 (exact only for values <= 256); the 3-pass mode
+    # represents any f32 exactly, so the single-nonzero-product one-hot
+    # contraction is bit-exact.
     vals = jnp.dot(
-        oh, table.astype(jnp.float32), preferred_element_type=jnp.float32
+        oh,
+        table.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return vals.astype(table.dtype)
 
@@ -59,7 +66,10 @@ def row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
         return table[idx]
     oh = jax.nn.one_hot(idx, ns, dtype=jnp.float32)
     rows = jnp.matmul(
-        oh, table.astype(jnp.float32), preferred_element_type=jnp.float32
+        oh,
+        table.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return rows.astype(table.dtype)
 
