@@ -24,6 +24,10 @@ def _init(env, B):
     return a0.astype(jnp.int32), g0.astype(jnp.int32)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 @pytest.mark.parametrize("grid_z", [1, 3])
 def test_fused_msrooms_validity(grid_z):
     env = gpt.make(

@@ -22,6 +22,10 @@ def _init(env, B):
     return pos.astype(jnp.int32), mask.astype(jnp.int32)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 def test_fused_rocksample_validity():
     env = gpt.make("RockSample-v0", map_size=(7, 7), num_rocks=8)
     B, K = 256, 32

@@ -19,6 +19,10 @@ def _init(env, B):
     return a0.astype(jnp.int32), g0.astype(jnp.int32)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 @pytest.mark.parametrize("layout", ["4", "16"])
 def test_fused_rooms_validity(layout):
     env = gpt.make("Rooms-v0", layout=layout, obs_type="mdp", goal_xy=None)
@@ -32,6 +36,10 @@ def test_fused_rooms_validity(layout):
     assert np.isfinite(np.asarray(rew)).all()
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 def test_fused_rooms_fixed_goal():
     env = gpt.make("Rooms-v0", layout="4", obs_type="mdp")  # default fixed goal
     B, K = 128, 16

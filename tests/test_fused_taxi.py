@@ -15,6 +15,10 @@ from gym_po_tpu.maps.taxi_maps import decode_state_np
 from gym_po_tpu.ops import make_fused_taxi_rollout
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 @pytest.mark.parametrize("name", ["Taxi-v4", "ExtendedHansenTaxi-v4"])
 def test_fused_rollout_state_validity(name):
     env = gpt.make(name)
@@ -59,6 +63,10 @@ def test_fused_reward_stats_match_scan_path():
     assert abs(fused_mean - scan_mean) < 0.02, (fused_mean, scan_mean)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
 def test_fused_rejects_bad_shapes():
     env = gpt.make("Taxi-v4")
     with pytest.raises(ValueError):
