@@ -60,7 +60,8 @@ def test_gaussian_policy_head():
     # analytic check of the Gaussian log-prob at the mean
     lp_mean = np.asarray(log_prob(pi, pi["mean"]))
     expected = -float(pi["log_std"][0]) - 0.5 * np.log(2 * np.pi)
-    np.testing.assert_allclose(lp_mean, expected, rtol=1e-5)
+    # rtol covers TPU VPU transcendental precision (~2e-5 on jnp.log)
+    np.testing.assert_allclose(lp_mean, expected, rtol=1e-4)
 
 
 def test_train_step_updates_and_is_finite():
