@@ -44,7 +44,8 @@ def test_discrete_policy_head():
     )
     ent = entropy(pi)
     assert (np.asarray(ent) > 0).all()
-    assert (np.asarray(ent) <= np.log(env.action_space.n) + 1e-5).all()
+    # +1e-4 covers TPU VPU transcendental precision in log/exp
+    assert (np.asarray(ent) <= np.log(env.action_space.n) + 1e-4).all()
 
 
 def test_gaussian_policy_head():
