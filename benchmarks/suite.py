@@ -105,6 +105,18 @@ def bench_fused(name, kw, batch, steps, iters=3, windows=5):
             (st.rock_good.astype(jnp.int32) * (2 ** jnp.arange(env.k)))
             .sum(-1).reshape(-1, 128).astype(jnp.int32),
         )
+    elif name == "TagContinuous-v0":
+        run = ops.make_fused_tag_rollout(env, batch, steps)
+        args0 = (
+            st.agent_xy[:, 0].reshape(-1, 128), st.agent_xy[:, 1].reshape(-1, 128),
+            st.target_xy[:, 0].reshape(-1, 128), st.target_xy[:, 1].reshape(-1, 128),
+        )
+    elif name == "HeavenHellContinuous-v0":
+        run = ops.make_fused_heavenhell_rollout(env, batch, steps)
+        args0 = (
+            st.agent_xy[:, 0].reshape(-1, 128), st.agent_xy[:, 1].reshape(-1, 128),
+            st.heaven_right.astype(jnp.int32).reshape(-1, 128),
+        )
     else:
         raise ValueError(f"no fused kernel for {name}")
     seed = jnp.asarray([7], jnp.int32)
@@ -129,9 +141,13 @@ def main():
     p.add_argument("--steps", type=int, default=256)
     p.add_argument("--fused", action="store_true",
                    help="measure the Pallas fused kernels where available")
+    p.add_argument("--only", nargs="+", default=None,
+                   help="restrict to envs whose name contains any substring")
     args = p.parse_args()
     dev = jax.devices()[0].platform
     for name, kw in CONFIGS:
+        if args.only and not any(s in name for s in args.only):
+            continue
         for batch in args.batches:
             if args.fused:
                 try:
