@@ -61,8 +61,10 @@ def bench(name, kw, batch, steps, iters=3, windows=5):
     return rates[len(rates) // 2]
 
 
-def bench_fused(name, kw, batch, steps, iters=3, windows=5):
+def bench_fused(name, kw, batch, steps, iters=3, windows=5, policy_eval=False):
     """Pallas fused kernels (taxi/rooms/msrooms/rocksample families)."""
+    import numpy as np
+
     import jax.numpy as jnp
 
     from gym_po_tpu import ops
@@ -71,8 +73,15 @@ def bench_fused(name, kw, batch, steps, iters=3, windows=5):
     key = jax.random.PRNGKey(0)
     _, st = env.reset_vec(key, batch)
     if "Taxi" in name:
-        run = ops.make_fused_taxi_rollout(env, batch, steps)
+        pol = None
+        if policy_eval:  # greedy per-state action table resident in VMEM
+            pol = np.random.default_rng(0).integers(
+                0, 5, env.tables.ns, dtype=np.int32
+            )
+        run = ops.make_fused_taxi_rollout(env, batch, steps, policy=pol)
         args0 = (st.s.reshape(-1, 128),)
+    elif policy_eval:
+        raise ValueError(f"no fused policy-eval kernel for {name}")
     elif name == "Rooms-v0":
         GW = env.grid_np.shape[1]
         run = ops.make_fused_rooms_rollout(env, batch, steps)
@@ -143,16 +152,19 @@ def main():
                    help="measure the Pallas fused kernels where available")
     p.add_argument("--only", nargs="+", default=None,
                    help="restrict to envs whose name contains any substring")
+    p.add_argument("--policy-eval", action="store_true",
+                   help="fused greedy tabular-policy evaluation (taxi family)")
     args = p.parse_args()
     dev = jax.devices()[0].platform
     for name, kw in CONFIGS:
         if args.only and not any(s in name for s in args.only):
             continue
         for batch in args.batches:
-            if args.fused:
+            if args.fused or args.policy_eval:
                 try:
-                    sps = bench_fused(name, kw, batch, args.steps)
-                    mode = "fused"
+                    sps = bench_fused(name, kw, batch, args.steps,
+                                      policy_eval=args.policy_eval)
+                    mode = "fused-policy" if args.policy_eval else "fused"
                 except ValueError:
                     continue  # no fused kernel for this env
             else:

@@ -11,7 +11,7 @@ from .fused_msrooms import make_fused_msrooms_rollout
 from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
 from .fused_tag import make_fused_heavenhell_rollout, make_fused_tag_rollout
-from .fused_taxi import make_fused_taxi_rollout
+from .fused_taxi import make_fused_taxi_rollout, state_policy_table
 
 __all__ = [
     "table_gather",
@@ -25,4 +25,5 @@ __all__ = [
     "make_fused_crooms_rollout",
     "make_fused_tag_rollout",
     "make_fused_heavenhell_rollout",
+    "state_policy_table",
 ]

@@ -18,14 +18,17 @@ Measured on one TPU v5e chip, B=64k, K=256: **1.30B env-steps/s** for the
 classic map (vs 457M for the XLA scan path, 6.25M/chip north-star target).
 
 Scope: random-policy rollouts (throughput benchmarking, random exploration,
-dataset generation).  Policy-in-the-loop training interleaves a network
-forward per step and uses the scan path.
+dataset generation) and — via ``policy=`` — greedy tabular-policy
+evaluation with the per-state action table resident in VMEM (packed
+``[ceil(ns/128), 128]``, one lane shuffle per row bank per step).
+Policy-in-the-loop *training* interleaves a network forward per step and
+uses the scan path.
 """
 
 from __future__ import annotations
 
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +36,32 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_fused_taxi_rollout"]
+__all__ = ["make_fused_taxi_rollout", "state_policy_table"]
 
 W = 128  # lane width; also the padded width of every per-cell table
 
 
+def state_policy_table(env, policy) -> np.ndarray:
+    """Compose the env's state→obs map with a ``(key, obs) -> action`` policy
+    into an ``[ns]`` per-encoded-state action table for the fused kernel.
+
+    Works for any deterministic policy on a ``Discrete`` obs space (e.g.
+    ``agents.greedy_policy(q)``); the Hansen variants are handled because
+    their obs is a pure function of the encoded state (reference
+    extended_taxi.py:366-372).
+    """
+    from ..envs.taxi import TaxiState
+
+    ns = env.tables.ns
+    s = jnp.arange(ns, dtype=jnp.int32)
+    z = jnp.zeros_like(s)
+    obs = env.observe(TaxiState(elapsed=z, s=s, completed=z))
+    return np.asarray(policy(None, obs), np.int32)
+
+
 def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
-                            rows_per_tile: int = 128, interpret: bool = False):
+                            rows_per_tile: int = 128, interpret: bool = False,
+                            policy: Optional[np.ndarray] = None):
     # CPU testing path: the TPU-specific primitives (prng_seed, dynamic
     # gather) need the TPU interpreter, not the generic one
     interpret_mode = pltpu.InterpretParams() if interpret else False
@@ -47,8 +69,11 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
 
     ``s`` is the encoded state laid out ``[num_envs // 128, 128]`` int32
     (use ``state.s.reshape(-1, 128)`` from ``reset_vec``); ``reward_sums``
-    accumulates per-env reward over the ``num_steps`` random-policy steps.
-    ``seed`` is a ``[1]`` int32 (SMEM scalar).
+    accumulates per-env reward over the ``num_steps`` steps.  ``seed`` is a
+    ``[1]`` int32 (SMEM scalar).  Actions are uniform-random draws, or —
+    when ``policy`` (an ``[ns]`` int32 per-state action table, see
+    :func:`state_policy_table`) is given — the table's greedy actions, with
+    the PRNG then only consumed by episode/task resets.
     """
     t = env.tables
     nc = t.rows * t.cols
@@ -90,10 +115,27 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
     vc_bank = np.zeros((1, W), np.int32)
     vc_bank[0, :n_valid] = valid_cells
     vc = jnp.asarray(vc_bank)
+    # per-state greedy action table, packed [ceil(ns/128), 128]
+    if policy is not None:
+        ns = nc * pd
+        pol_host = np.asarray(policy, np.int32).reshape(-1)
+        if pol_host.size != ns:
+            raise ValueError(f"policy table must have {ns} entries")
+        n_pol_rows = -(-ns // W)
+        pol_bank = np.zeros((n_pol_rows, W), np.int32)
+        pol_bank.reshape(-1)[:ns] = pol_host
+        pol_tables: Tuple[jax.Array, ...] = (jnp.asarray(pol_bank),)
+    else:
+        n_pol_rows = 0
+        pol_tables = ()
 
     def kernel(seed_ref, s_ref, *refs):
         cm_refs = refs[: len(cm_tables)]
-        la_r, vc_r, out_ref, rew_ref = refs[len(cm_tables) :]
+        rest = refs[len(cm_tables) :]
+        if policy is not None:
+            la_r, vc_r, pol_r, out_ref, rew_ref = rest
+        else:
+            la_r, vc_r, out_ref, rew_ref = rest
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
         cm_b = [jnp.broadcast_to(r[:], (R, W)) for r in cm_refs]
@@ -109,7 +151,17 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             s, completed, elapsed, racc = carry
-            a = rbits(5)
+            if policy is None:
+                a = rbits(5)
+            else:  # greedy action: lane shuffle per policy row bank
+                lane = s % W
+                row = s // W
+                a = gather(lane, jnp.broadcast_to(pol_r[0:1, :], (R, W)))
+                for i in range(1, n_pol_rows):
+                    cand = gather(
+                        lane, jnp.broadcast_to(pol_r[i : i + 1, :], (R, W))
+                    )
+                    a = jnp.where(row == i, cand, a)
             # decode (reference extended_taxi.py:84-94)
             rc = s // pd
             rem = s % pd
@@ -184,12 +236,12 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [state_spec]
-            + [tab_spec] * (len(cm_tables) + 2),
+            + [tab_spec] * (len(cm_tables) + 2 + len(pol_tables)),
             out_specs=(state_spec, state_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
                 jax.ShapeDtypeStruct((rows_total, W), jnp.float32),
             ),
-        )(seed, s, *cm_tables, la, vc)
+        )(seed, s, *cm_tables, la, vc, *pol_tables)
 
     return run

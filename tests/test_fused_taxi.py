@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 import gym_po_tpu as gpt
 from gym_po_tpu.maps.taxi_maps import decode_state_np
-from gym_po_tpu.ops import make_fused_taxi_rollout
+from gym_po_tpu.ops import make_fused_taxi_rollout, state_policy_table
 
 
 @pytest.mark.skipif(
@@ -71,6 +71,97 @@ def test_fused_rejects_bad_shapes():
     env = gpt.make("Taxi-v4")
     with pytest.raises(ValueError):
         make_fused_taxi_rollout(env, 100, 10)  # not a multiple of 128
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
+def test_fused_policy_eval_matches_scan_exactly():
+    """Greedy-table actions, K << time_limit, policy never does action 4:
+    no env can terminate, so the dynamics are fully deterministic and the
+    fused path must match ``step_vec`` BIT-EXACTLY (no PRNG consumed)."""
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("Taxi-v4")
+    t = env.tables
+    pol = (np.arange(t.ns) % 4).astype(np.int32)  # moves only, never pickup
+    B, K = 256, 32
+    run = make_fused_taxi_rollout(env, B, K, interpret=True, policy=pol)
+    _, st = env.reset_vec(jax.random.PRNGKey(2), B)
+    s2, rew = run(jnp.asarray([3], jnp.int32), st.s.reshape(-1, 128))
+
+    pol_j = jnp.asarray(pol)
+    traj, (_, st_f) = rollout(
+        env,
+        jax.random.PRNGKey(9),
+        lambda k, obs: pol_j[obs],
+        B,
+        K,
+        init=(env.observe(st), st),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2).reshape(-1), np.asarray(st_f.s)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew).reshape(-1),
+        np.asarray(traj.reward).sum(0),
+        rtol=1e-6,
+    )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
+def test_fused_policy_table_size_check():
+    env = gpt.make("Taxi-v4")
+    with pytest.raises(ValueError):
+        make_fused_taxi_rollout(env, 256, 8, policy=np.zeros(7, np.int32))
+
+
+def test_state_policy_table_composes_hansen_obs():
+    """π_state[s] = π_obs[obs(s)] for the Hansen partial-obs variant."""
+    env = gpt.make("HansenTaxi-v4")
+    n_obs = int(env.observation_space.n)
+    rng = np.random.default_rng(0)
+    pol_obs = jnp.asarray(rng.integers(0, 5, n_obs, dtype=np.int32))
+    table = state_policy_table(env, lambda k, obs: pol_obs[obs])
+    assert table.shape == (env.tables.ns,)
+    # spot-check a handful of states through the env's own observe()
+    from gym_po_tpu.envs.taxi import TaxiState
+
+    s = jnp.asarray(rng.integers(0, env.tables.ns, 64, dtype=np.int32))
+    z = jnp.zeros_like(s)
+    obs = env.observe(TaxiState(elapsed=z, s=s, completed=z))
+    np.testing.assert_array_equal(table[np.asarray(s)], np.asarray(pol_obs[obs]))
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="TPU interpreter PRNG returns zeros on CPU",
+)
+def test_fused_policy_eval_stats_match_scan():
+    """Hardware: same fixed policy table, fused vs scan mean reward agree
+    (different PRNG streams only drive the episode resets)."""
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("Taxi-v4")
+    t = env.tables
+    rng = np.random.default_rng(5)
+    pol = rng.integers(0, 5, t.ns, dtype=np.int32)
+    B, K = 8192, 256
+    run = make_fused_taxi_rollout(env, B, K, policy=pol)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    _, rew = run(jnp.asarray([13], jnp.int32), st.s.reshape(-1, 128))
+    fused_mean = float(np.asarray(rew).mean()) / K
+
+    pol_j = jnp.asarray(pol)
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, lambda kk, obs: pol_j[obs], B, K)
+    )(jax.random.PRNGKey(1))
+    scan_mean = float(np.asarray(traj.reward).mean())
+    assert abs(fused_mean - scan_mean) < 0.02, (fused_mean, scan_mean)
 
 
 @pytest.mark.skipif(
