@@ -15,7 +15,12 @@ import jax
 
 sys.path.insert(0, ".")
 import gym_po_tpu as gpt  # noqa: E402
-from gym_po_tpu.agents import PPOConfig, init_train_state, make_train_step  # noqa: E402
+from gym_po_tpu.agents import (  # noqa: E402
+    PPOConfig,
+    init_train_state,
+    make_multi_train_step,
+    make_train_step,
+)
 
 
 def main():
@@ -27,6 +32,8 @@ def main():
     p.add_argument("--updates", type=int, default=3)
     p.add_argument("--windows", type=int, default=4)
     p.add_argument("--shuffle", default="permute", choices=["permute", "roll", "none"])
+    p.add_argument("--multi", action="store_true",
+                   help="scan all --updates into one dispatch per window")
     args = p.parse_args()
 
     env = gpt.make(args.env)
@@ -37,18 +44,27 @@ def main():
         shuffle=args.shuffle,
     )
     net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
-    step = make_train_step(env, net, cfg)
-    ts, m = step(ts)  # compile + warmup
-    _ = float(m["loss"])  # scalar-fetch sync (block_until_ready can lie
-    # on the remote tunnel)
+    if args.multi:
+        multi = make_multi_train_step(env, net, cfg, args.updates)
+        ts, m = multi(ts)  # compile + warmup
+        _ = float(m["loss"][-1])
+    else:
+        step = make_train_step(env, net, cfg)
+        ts, m = step(ts)  # compile + warmup
+        _ = float(m["loss"])  # scalar-fetch sync (block_until_ready can lie
+        # on the remote tunnel)
 
     steps_per_update = cfg.num_envs * cfg.rollout_steps
     rates = []
     for _ in range(args.windows):
         t0 = time.perf_counter()
-        for _ in range(args.updates):
-            ts, m = step(ts)
-        _ = float(m["loss"])
+        if args.multi:
+            ts, m = multi(ts)
+            _ = float(m["loss"][-1])
+        else:
+            for _ in range(args.updates):
+                ts, m = step(ts)
+            _ = float(m["loss"])
         rates.append(steps_per_update * args.updates / (time.perf_counter() - t0))
     rates.sort()
     print(

@@ -11,6 +11,7 @@ from .ppo import (
     PPOConfig,
     TrainState,
     init_train_state,
+    make_multi_train_step,
     make_train_step,
     shard_train_state,
     train,
@@ -23,6 +24,7 @@ __all__ = [
     "TrainState",
     "init_train_state",
     "make_train_step",
+    "make_multi_train_step",
     "shard_train_state",
     "train",
     "RecurrentActorCritic",

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.experimental.shard_map import shard_map
+from ..parallel.mesh import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import Environment
@@ -159,14 +159,14 @@ def _loss_fn(params, net, batch: _Batch, config: PPOConfig):
     return loss, {"pg_loss": pg, "v_loss": v_loss, "entropy": ent}
 
 
-def make_train_step(
+def _build_update(
     env: Environment,
     net: ActorCritic,
     config: PPOConfig,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
 ) -> Callable[[TrainState], Tuple[TrainState, dict]]:
-    """Build the jitted (optionally shard_mapped) Anakin update.
+    """Build the (optionally shard_mapped, unjitted) Anakin update.
 
     Single-device when ``mesh is None``; otherwise the returned function
     expects a TrainState whose env fields are sharded over ``axis`` and whose
@@ -269,7 +269,7 @@ def make_train_step(
     # Taxi obs == state.s) env_obs and env_state alias the same buffer, and
     # donating the TrainState would donate it twice.
     if mesh is None:
-        return jax.jit(local_update)
+        return local_update
 
     # Anakin: params/opt replicated, env fields + key sharded over `axis`.
     state_specs = TrainState(
@@ -294,7 +294,41 @@ def make_train_step(
         new_ts, metrics = local_update(ts)
         return new_ts.replace(key=new_ts.key[None]), metrics
 
-    return jax.jit(sharded_update)
+    return sharded_update
+
+
+def make_train_step(
+    env: Environment,
+    net: ActorCritic,
+    config: PPOConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Jitted single PPO update (rollout + GAE + epochs×minibatches)."""
+    return jax.jit(_build_update(env, net, config, mesh, axis))
+
+
+def make_multi_train_step(
+    env: Environment,
+    net: ActorCritic,
+    config: PPOConfig,
+    num_updates: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """``num_updates`` PPO updates as ONE jitted scan — one device dispatch.
+
+    A host loop of per-update dispatches pays the remote-tunnel latency
+    (~170ms) per update; the scan pays it once per run.  Returned metrics
+    are stacked ``[num_updates]`` arrays.
+    """
+    upd = _build_update(env, net, config, mesh, axis)
+
+    @jax.jit
+    def multi(ts: TrainState) -> Tuple[TrainState, dict]:
+        return jax.lax.scan(lambda t, _: upd(t), ts, None, length=num_updates)
+
+    return multi
 
 
 def shard_train_state(
@@ -326,20 +360,28 @@ def train(
     mesh: Optional[Mesh] = None,
     log_every: int = 0,
 ):
-    """Convenience driver: init, (shard,) and run ``num_updates`` updates."""
+    """Convenience driver: init, (shard,) and run ``num_updates`` updates.
+
+    Updates run in scan chunks of ``log_every`` (the whole run when 0) so the
+    per-dispatch tunnel latency is paid once per chunk, not per update.
+    """
     key = jax.random.PRNGKey(seed)
-    if mesh is None:
-        net, ts = init_train_state(env, config, key)
-    else:
-        net, ts = init_train_state(env, config, key)
+    net, ts = init_train_state(env, config, key)
+    if mesh is not None:
         # init made the full global env batch; lay it out across the mesh
         ts = shard_train_state(ts, mesh)
-    step = make_train_step(env, net, config, mesh)
+    chunk = log_every if log_every else num_updates
+    step = make_multi_train_step(env, net, config, chunk, mesh)
     history = []
-    for i in range(num_updates):
+    done = 0
+    while done < num_updates:
+        if num_updates - done < chunk:  # ragged tail: its own executable
+            chunk = num_updates - done
+            step = make_multi_train_step(env, net, config, chunk, mesh)
         ts, metrics = step(ts)
-        if log_every and (i + 1) % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+        done += chunk
+        if log_every:
+            m = {k: float(v[-1]) for k, v in metrics.items()}
             history.append(m)
-            print(f"update {i+1}: {m}")
+            print(f"update {done}: {m}")
     return net, ts, history

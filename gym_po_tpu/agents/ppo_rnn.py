@@ -25,7 +25,7 @@ import numpy as np
 import optax
 from flax import linen as nn
 from flax import struct
-from jax.experimental.shard_map import shard_map
+from ..parallel.mesh import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import Box, Discrete, Environment

@@ -22,11 +22,28 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import Environment
 from ..vector import Transition, rollout
+
+try:  # jax >= 0.8: public API, `check_rep` renamed to `check_vma`
+    from jax import shard_map as _jax_shard_map
+
+    _CHECK_KW = "check_vma"
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _jax_shard_map
+
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(f=None, **kwargs):
+    """``jax.shard_map`` across jax versions (check_rep/check_vma rename)."""
+    if "check_rep" in kwargs:
+        kwargs[_CHECK_KW] = kwargs.pop("check_rep")
+    if f is None:
+        return functools.partial(shard_map, **kwargs)
+    return _jax_shard_map(f, **kwargs)
 
 __all__ = [
     "make_mesh",
