@@ -1,5 +1,6 @@
-"""Solve Taxi to the optimal policy with in-graph tabular Q-learning (~30s
-on one TPU chip), then evaluate and render the greedy policy.
+"""Solve Taxi to the optimal policy with in-graph tabular Q-learning (the
+210M training transitions take ~1s of chip time; wall clock is XLA compile,
+~2min warm on the remote tunnel), then evaluate and render the greedy policy.
 
 Usage: python examples/solve_taxi.py [--envs 4096] [--render]
 """
