@@ -23,6 +23,45 @@ from gym_po_tpu.agents import (  # noqa: E402
 )
 
 
+def bench_fused_q(args):
+    """In-kernel tabular Q-learning (ops/fused_qlearning.py), classic Taxi."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gym_po_tpu.ops import make_fused_q_trainer, q_to_banks
+
+    env = gpt.make("Taxi-v4")
+    B, K = args.num_envs, 256
+    run = make_fused_q_trainer(env, B, K)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
+    q = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
+    s, q, rew = run(jnp.asarray([1], jnp.int32), 0.1, 0.1, s, q)
+    _ = float(jnp.sum(rew))  # scalar-fetch sync
+    rates = []
+    for w in range(args.windows):
+        t0 = time.perf_counter()
+        for i in range(args.updates):
+            s, q, rew = run(
+                jnp.asarray([2 + w * 100 + i], jnp.int32), 0.1, 0.1, s, q
+            )
+        _ = float(jnp.sum(rew))
+        rates.append(B * K * args.updates / (time.perf_counter() - t0))
+    rates.sort()
+    print(
+        json.dumps(
+            {
+                "metric": f"fused_q_train_steps_per_s (Taxi-v4, B={B}, "
+                f"K={K}, 1 chip)",
+                "value": round(rates[len(rates) // 2]),
+                "unit": "steps/s",
+                "device": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="ExtendedHansenTaxi-v4")
@@ -34,7 +73,13 @@ def main():
     p.add_argument("--shuffle", default="permute", choices=["permute", "roll", "none"])
     p.add_argument("--multi", action="store_true",
                    help="scan all --updates into one dispatch per window")
+    p.add_argument("--fused-q", action="store_true",
+                   help="benchmark the Pallas in-kernel Q-learning trainer "
+                        "(classic Taxi) instead of PPO")
     args = p.parse_args()
+
+    if args.fused_q:
+        return bench_fused_q(args)
 
     env = gpt.make(args.env)
     cfg = PPOConfig(

@@ -21,20 +21,41 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--envs", type=int, default=4096)
     p.add_argument("--render", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="train inside the Pallas kernel "
+                        "(ops/fused_qlearning.py; ~2x the XLA path)")
     args = p.parse_args()
 
     env = gpt.make("Taxi-v4")
     key = jax.random.PRNGKey(0)
-    phases = [  # (epsilon, learning_rate, updates)
+    phases = [  # (epsilon, learning_rate, updates-of-128-steps)
         (0.30, 0.05, 150),
         (0.05, 0.02, 150),
         (0.01, 0.01, 100),
     ]
-    q = None
-    for eps, lr, updates in phases:
-        cfg = QConfig(num_envs=args.envs, learning_rate=lr, epsilon=eps)
-        q, hist = q_learning(env, cfg, key, num_updates=updates, q_init=q)
-        print(f"eps={eps}: train mean_r/step {hist[-1][0]:+.4f}")
+    if args.fused:
+        import jax.numpy as jnp
+
+        from gym_po_tpu.ops import banks_to_q, make_fused_q_trainer, q_to_banks
+
+        run = make_fused_q_trainer(env, args.envs, 128 * 50)
+        _, st = env.reset_vec(key, args.envs)
+        s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
+        qb = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
+        i = 0
+        for eps, lr, updates in phases:
+            for _ in range(updates // 50):
+                i += 1
+                s, qb, rew = run(jnp.asarray([i], jnp.int32), lr, eps, s, qb)
+            print(f"eps={eps}: train mean_r/step "
+                  f"{float(rew.mean()) / (128 * 50):+.4f}")
+        q = jnp.asarray(banks_to_q(np.asarray(qb), 512)[:env.tables.ns])
+    else:
+        q = None
+        for eps, lr, updates in phases:
+            cfg = QConfig(num_envs=args.envs, learning_rate=lr, epsilon=eps)
+            q, hist = q_learning(env, cfg, key, num_updates=updates, q_init=q)
+            print(f"eps={eps}: train mean_r/step {hist[-1][0]:+.4f}")
 
     traj, (obs, state) = jax.jit(
         lambda k: rollout(env, k, greedy_policy(q), args.envs, 256)

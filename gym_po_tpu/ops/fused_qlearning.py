@@ -1,0 +1,308 @@
+"""Pallas fused tabular Q-learning: the WHOLE trainer inside one TPU kernel.
+
+The XLA scan-of-scans Q-learning (`agents/qlearning.py`) already runs at
+221M transitions/s (B=64k); its remaining cost is HBM round-trips of the
+one-hot operand buffers every step.  This kernel keeps everything — env
+state tiles, the transition tables, AND the Q-table — resident in VMEM for
+K steps: epsilon-greedy acting, the taxi transition (reference
+``extended_taxi.py:244-287`` semantics, same as :mod:`.fused_taxi`), TD
+targets from the PRE-reset terminal state, and the duplicate-accumulating
+``Q[s,a] += lr*td`` update, all on-core.
+
+The update is the hard part: TPUs have no scatter.  Per 128-env row we
+build two mask matrices with iota-compares and route the scatter through
+the MXU as ``C += X' @ P'ᵀ`` (``X'[h,e] = 1[hi_e==h]·td_e`` ``[32,128]``,
+``P'[l,e] = 1[lo_e==l]`` ``[128,128]``, dot_general contracting the env
+axis at ``Precision.HIGHEST`` — the default MXU f32 mode rounds ``td``
+operands through bf16), then ``Q += lr·C`` once per step.
+
+Q-table layout: entry ``(s, a)`` lives at bank ``hi = a·(NSP/128) + s>>7``,
+lane ``lo = s&127`` of a ``[32, 128]`` f32 VMEM tile (NSP = ns padded to a
+multiple of 128).  Lookups are plain lane shuffles per bank — exact, no
+matmul rounding.
+
+Like the rest of the fused family the kernel draws from the hardware PRNG
+(stats-matched, not bit-exact, vs the threefry scan path).  Classic-map
+taxi only (``ns <= 512``, ``cells*4 <= 128``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_fused_q_trainer"]
+
+W = 128
+NB = 32  # Q bank rows: 5 actions x (512/128) state banks = 20 used, pad 32
+
+
+def make_fused_q_trainer(env, num_envs: int, num_steps: int,
+                         gamma: float = 0.99,
+                         average_duplicates: bool = False,
+                         interpret: bool = False):
+    """Build ``run(seed, lr, epsilon, s, q) -> (s', q', reward_sums)``.
+
+    ``s``: int32 ``[num_envs//128, 128]`` encoded taxi states (from
+    ``state.s.reshape(-1, 128)``); ``q``: f32 ``[32, 128]`` banked Q-table
+    (see :func:`q_to_banks` / :func:`banks_to_q`); ``reward_sums``: f32
+    per-env accumulated reward over the ``num_steps`` training steps.
+    ``lr``/``epsilon`` are f32 ``[1]`` SMEM scalars — lr/epsilon SCHEDULES
+    reuse the one executable (a fresh compile costs minutes on the tunnel).
+
+    ``average_duplicates=False`` SUMS same-(s,a) updates within a batch
+    (exactly the XLA agent's scatter-add semantics, exact vs the NumPy
+    oracle) — but the effective per-state step is then ``lr × B/ns``, which
+    DIVERGES for ``lr ≳ ns/B`` (measured: NaN at B=8192, lr=0.05).
+    ``average_duplicates=True`` divides each entry's summed update by its
+    duplicate count (a second mask matmul), making lr batch-size-invariant —
+    use it to train at B=64k full speed.
+    """
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+    t = env.tables
+    nc = t.rows * t.cols
+    if nc * 4 > W:
+        raise ValueError("fused Q trainer supports classic maps only")
+    nlocs, rows, cols = t.nlocs, t.rows, t.cols
+    pd = (nlocs + 1) * nlocs
+    ns = nc * pd
+    if ns > 512:
+        raise ValueError(f"ns={ns} > 512: Q banks would exceed 32 rows")
+    nsb = 4  # state banks per action (512/128)
+    n_pass = env.num_passengers
+    time_limit = env.time_limit
+    r_goal, r_bad, r_any = env.reward_goal, env.reward_bad, env.reward_any
+    if not env._all_cells_valid:
+        raise ValueError("fused Q trainer requires all cells navigable")
+
+    if num_envs % W:
+        raise ValueError("num_envs must be a multiple of 128")
+    R = num_envs // W
+    if R % 8:
+        raise ValueError("num_envs must be a multiple of 1024")
+
+    cm_host = np.asarray(env._cell_move).reshape(nc, 4)
+    cm_bank = np.zeros((1, W), np.int32)
+    cm_bank[0, : nc * 4] = cm_host.reshape(-1)
+    cm = jnp.asarray(cm_bank)
+    la_bank = np.full((1, W), nlocs, np.int32)
+    la_bank[0, :nc] = np.asarray(env._loc_at)
+    la = jnp.asarray(la_bank)
+
+    gamma_f = float(gamma)
+
+    def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref, *outs):
+        s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
+        pltpu.prng_seed(seed_ref[0])
+        lr_v = lr_ref[0]
+        # epsilon compares against raw 24-bit uniform draws
+        eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
+        cm_b = jnp.broadcast_to(cm_ref[:], (R, W))
+        la_b = jnp.broadcast_to(la_ref[:], (R, W))
+
+        def gather(idx, tab):
+            return jnp.take_along_axis(tab, idx, axis=1)
+
+        def rbits(n):
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
+            return (u % n).astype(jnp.int32)
+
+        def r24():
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
+            return u.astype(jnp.int32)
+
+        def qvals(q, s):
+            """Q[s, a] for all 5 actions: lane shuffles per (a, s_hi) bank."""
+            lo = s & (W - 1)
+            hi = s >> 7  # 0..3
+            vals = []
+            for a in range(5):
+                v = None
+                for b in range(nsb):
+                    bank = jnp.broadcast_to(
+                        jax.lax.slice(q, (a * nsb + b, 0), (a * nsb + b + 1, W)),
+                        (R, W),
+                    )
+                    g = gather(lo, bank)
+                    v = g if v is None else jnp.where(hi == b, g, v)
+                vals.append(v)
+            return vals
+
+        def argmax5(vals):
+            """First-max index over the 5 action values (matches jnp.argmax)."""
+            best_v = vals[0]
+            best_a = jnp.zeros((R, W), jnp.int32)
+            for a in range(1, 5):
+                better = vals[a] > best_v
+                best_v = jnp.where(better, vals[a], best_v)
+                best_a = jnp.where(better, a, best_a)
+            return best_a, best_v
+
+        def body(step, carry):
+            s, q, completed, elapsed, racc = carry
+            vals = qvals(q, s)
+            greedy, _ = argmax5(vals)
+            explore = r24() < eps24
+            a = jnp.where(explore, rbits(5), greedy)
+            q_taken = vals[0]
+            for i in range(1, 5):
+                q_taken = jnp.where(a == i, vals[i], q_taken)
+
+            # --- taxi transition (reference extended_taxi.py:244-287) ---
+            rc = s // pd
+            rem = s % pd
+            p = rem // nlocs
+            d = rem % nlocs
+            moved = gather(rc * 4 + jnp.minimum(a, 3), cm_b)
+            is_pd = a == 4
+            loc = gather(rc, la_b)
+            goal = is_pd & (p == nlocs) & (loc == d)
+            pickup = is_pd & (p < nlocs) & (loc == p)
+            bad = is_pd & (~goal) & (~pickup)
+            p2 = jnp.where(pickup, nlocs, p)
+            rc2 = jnp.where(is_pd, rc, moved)
+            completed = completed + goal.astype(jnp.int32)
+            rew = jnp.where(
+                goal, jnp.float32(r_goal),
+                jnp.where(bad, jnp.float32(r_bad), jnp.float32(r_any)),
+            )
+            elapsed = elapsed + 1
+            done = completed == n_pass
+            trunc = elapsed > time_limit
+
+            # --- task reset BEFORE the TD target: the episode continues
+            # with a new passenger/destination, so that IS the next state
+            # (matches the scan path's terminal_state, taxi.py step_vec) ---
+            task = goal & ~(done | trunc)
+            pn = rbits(nlocs)
+            d0 = rbits(nlocs - 1)
+            dn = d0 + (d0 >= pn)
+            p3 = jnp.where(task, pn, p2)
+            d3 = jnp.where(task, dn, d)
+            s_mid = (rc2 * (nlocs + 1) + p3) * nlocs + d3
+
+            # --- TD target from the PRE-(full-)reset terminal state ---
+            _, next_v = argmax5(qvals(q, s_mid))
+            target = rew + jnp.float32(gamma_f) * next_v * jnp.where(
+                done, jnp.float32(0.0), jnp.float32(1.0)
+            )
+            td = target - q_taken
+
+            # --- MXU scatter: C[hi, lo] += lr*td over all envs ---
+            # (staged through VMEM scratch: Mosaic supports dynamic sublane
+            # slicing on refs, not on values)
+            hi_scr[:] = a * nsb + (s >> 7)
+            lo_scr[:] = s & (W - 1)
+            wtd_scr[:] = lr_v * td
+
+            def hist_chunk(c, acc):
+                acc_s, acc_n = acc
+                hi8 = hi_scr[pl.ds(c * 8, 8), :]
+                lo8 = lo_scr[pl.ds(c * 8, 8), :]
+                w8 = wtd_scr[pl.ds(c * 8, 8), :]
+                for r in range(8):
+                    lo_r = jax.lax.slice(lo8, (r, 0), (r + 1, W))
+                    hi_r = jax.lax.slice(hi8, (r, 0), (r + 1, W))
+                    w_r = jax.lax.slice(w8, (r, 0), (r + 1, W))
+                    P = (
+                        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+                        == jnp.broadcast_to(lo_r, (W, W))
+                    ).astype(jnp.float32)
+                    M = (
+                        jax.lax.broadcasted_iota(jnp.int32, (NB, W), 0)
+                        == jnp.broadcast_to(hi_r, (NB, W))
+                    ).astype(jnp.float32)
+                    X = M * jnp.broadcast_to(w_r, (NB, W))
+                    acc_s = acc_s + jax.lax.dot_general(
+                        X, P, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    if average_duplicates:  # duplicate counts: same masks
+                        acc_n = acc_n + jax.lax.dot_general(
+                            M, P, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                return (acc_s, acc_n)
+
+            zero_nb = jnp.zeros((NB, W), jnp.float32)
+            dq, cnt = jax.lax.fori_loop(
+                0, R // 8, hist_chunk, (zero_nb, zero_nb)
+            )
+            if average_duplicates:
+                dq = dq / jnp.maximum(cnt, jnp.float32(1.0))
+            q = q + dq
+
+            # --- full episode resets (as fused_taxi) ---
+            reset = done | trunc
+            rc_new = rbits(rows) * cols + rbits(cols)
+            pr = rbits(nlocs)
+            dr0 = rbits(nlocs - 1)
+            dr = dr0 + (dr0 >= pr)
+            rc3 = jnp.where(reset, rc_new, rc2)
+            p4 = jnp.where(reset, pr, p3)
+            d4 = jnp.where(reset, dr, d3)
+            completed = jnp.where(reset, 0, completed)
+            elapsed = jnp.where(reset, 0, elapsed)
+            s2 = (rc3 * (nlocs + 1) + p4) * nlocs + d4
+            return (s2, q, completed, elapsed, racc + rew)
+
+        zeros = jnp.zeros((R, W), jnp.int32)
+        s, q, _, _, racc = jax.lax.fori_loop(
+            0, num_steps, body,
+            (s_ref[:], q_ref[:], zeros, zeros, jnp.zeros((R, W), jnp.float32)),
+        )
+        s_out[:] = s
+        q_out[:] = q
+        rew_ref[:] = racc
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
+            s: jax.Array, q: jax.Array):
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret_mode,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 4,
+            out_specs=(vspec, vspec, vspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, W), jnp.int32),
+                jax.ShapeDtypeStruct((NB, W), jnp.float32),
+                jax.ShapeDtypeStruct((R, W), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.float32),
+            ],
+        )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
+          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la)
+
+    return run
+
+
+def q_to_banks(q: np.ndarray) -> np.ndarray:
+    """[ns, 5] Q-table -> [32, 128] banked VMEM layout (e = a*512 + s)."""
+    ns, na = q.shape
+    out = np.zeros((NB, W), np.float32)
+    for a in range(na):
+        for s in range(ns):
+            e = a * 512 + s
+            out[e >> 7, e & (W - 1)] = q[s, a]
+    return out
+
+
+def banks_to_q(banks: np.ndarray, ns: int, na: int = 5) -> np.ndarray:
+    """Inverse of :func:`q_to_banks`."""
+    q = np.zeros((ns, na), np.float32)
+    for a in range(na):
+        for s in range(ns):
+            e = a * 512 + s
+            q[s, a] = banks[e >> 7, e & (W - 1)]
+    return q

@@ -1,0 +1,202 @@
+"""Pallas fused Q-learning trainer: exact-oracle and hardware checks.
+
+CPU interpret mode is fully deterministic (the TPU interpreter's PRNG
+returns all-zero bits and the test pins epsilon=0), so a NumPy mirror of
+the same greedy/TD/duplicate-accumulation semantics must match the kernel's
+Q-table trajectory almost exactly (MXU HIGHEST matmuls vs NumPy add.at
+differ only in f32 summation order).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import gym_po_tpu as gpt
+from gym_po_tpu.ops.fused_qlearning import (
+    banks_to_q,
+    make_fused_q_trainer,
+    q_to_banks,
+)
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
+    """Greedy (eps=0), zero-PRNG mirror of the kernel's training loop."""
+    t = env.tables
+    nlocs, rows, cols = t.nlocs, t.rows, t.cols
+    pd = (nlocs + 1) * nlocs
+    cm = np.asarray(env._cell_move).reshape(-1, 4)
+    la = np.asarray(env._loc_at)
+    n_pass = env.num_passengers
+    time_limit = env.time_limit
+
+    s = s0.astype(np.int64).copy()
+    q = q.astype(np.float64).copy()  # f64 accumulate: mirror is the oracle
+    completed = np.zeros_like(s)
+    elapsed = np.zeros_like(s)
+    racc = np.zeros(s.shape, np.float64)
+    for _ in range(K):
+        vals = q[s]  # [B, 5]
+        a = np.argmax(vals, axis=1)  # first-max ties, as the kernel
+        q_taken = vals[np.arange(s.size), a]
+
+        rc = s // pd
+        rem = s % pd
+        p = rem // nlocs
+        d = rem % nlocs
+        moved = cm[rc, np.minimum(a, 3)]
+        is_pd = a == 4
+        loc = la[rc]
+        goal = is_pd & (p == nlocs) & (loc == d)
+        pickup = is_pd & (p < nlocs) & (loc == p)
+        bad = is_pd & ~goal & ~pickup
+        p2 = np.where(pickup, nlocs, p)
+        rc2 = np.where(is_pd, rc, moved)
+        completed = completed + goal
+        rew = np.where(
+            goal, env.reward_goal, np.where(bad, env.reward_bad, env.reward_any)
+        )
+        elapsed += 1
+        done = completed == n_pass
+        trunc = elapsed > time_limit
+
+        # task reset with zero draws: pn=0, dn = 0 + (0 >= 0) = 1
+        task = goal & ~(done | trunc)
+        p3 = np.where(task, 0, p2)
+        d3 = np.where(task, 1, d)
+        s_mid = (rc2 * (nlocs + 1) + p3) * nlocs + d3
+        next_v = q[s_mid].max(axis=1)
+        td = rew + gamma * next_v * (1.0 - done) - q_taken
+        if average_duplicates:
+            dq = np.zeros_like(q)
+            cnt = np.zeros_like(q)
+            np.add.at(dq, (s, a), lr * td)
+            np.add.at(cnt, (s, a), 1.0)
+            q = q + dq / np.maximum(cnt, 1.0)
+        else:
+            np.add.at(q, (s, a), lr * td)
+
+        # full reset with zero draws: rc=0, pr=0, dr=1 -> s = 1
+        reset = done | trunc
+        rc3 = np.where(reset, 0, rc2)
+        p4 = np.where(reset, 0, p3)
+        d4 = np.where(reset, 1, d3)
+        completed = np.where(reset, 0, completed)
+        elapsed = np.where(reset, 0, elapsed)
+        s = (rc3 * (nlocs + 1) + p4) * nlocs + d4
+        racc += rew
+    return s, q, racc
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_matches_numpy_mirror():
+    env = gpt.make("Taxi-v4")
+    B, K = 1024, 24
+    lr, gamma = 0.25, 0.9
+    _, st = env.reset_vec(jax.random.PRNGKey(3), B)
+    s0 = np.asarray(st.s)
+    rng = np.random.default_rng(0)
+    q0 = rng.normal(scale=0.1, size=(512, 5)).astype(np.float32)
+    q0[env.tables.ns:] = 0.0
+
+    run = make_fused_q_trainer(env, B, K, gamma, interpret=True)
+    s_k, qb_k, racc_k = run(
+        jnp.asarray([5], jnp.int32),
+        lr,
+        0.0,
+        jnp.asarray(s0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512)
+
+    s_m, q_m, racc_m = _numpy_mirror(env, s0, q0, K, lr, gamma)
+    np.testing.assert_array_equal(np.asarray(s_k).reshape(-1), s_m)
+    np.testing.assert_allclose(
+        np.asarray(racc_k).reshape(-1), racc_m, atol=1e-5
+    )
+    # relative tolerance: the zero-PRNG deterministic config funnels many
+    # envs into identical states, so duplicate sums make some Q entries
+    # huge — f32 (kernel) vs f64 (mirror) then drift ~1e-5 relatively
+    np.testing.assert_allclose(q_k[: env.tables.ns], q_m[: env.tables.ns],
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_average_duplicates_matches_mirror():
+    """Mean-duplicate mode: batch-size-invariant effective lr (sum mode
+    measurably diverges at B=8192 lr=0.05)."""
+    env = gpt.make("Taxi-v4")
+    B, K = 1024, 24
+    lr, gamma = 0.25, 0.9
+    _, st = env.reset_vec(jax.random.PRNGKey(3), B)
+    s0 = np.asarray(st.s)
+    rng = np.random.default_rng(1)
+    q0 = rng.normal(scale=0.1, size=(512, 5)).astype(np.float32)
+    q0[env.tables.ns:] = 0.0
+
+    run = make_fused_q_trainer(env, B, K, gamma, average_duplicates=True,
+                               interpret=True)
+    s_k, qb_k, _ = run(
+        jnp.asarray([5], jnp.int32), lr, 0.0,
+        jnp.asarray(s0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512)
+    s_m, q_m, _ = _numpy_mirror(env, s0, q0, K, lr, gamma,
+                                average_duplicates=True)
+    np.testing.assert_array_equal(np.asarray(s_k).reshape(-1), s_m)
+    # mean mode keeps Q bounded, so plain tolerances suffice
+    np.testing.assert_allclose(q_k[: env.tables.ns], q_m[: env.tables.ns],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_rejects_bad_configs():
+    env = gpt.make("Taxi-v4")
+    with pytest.raises(ValueError):
+        make_fused_q_trainer(env, 100, 8)
+    ext = gpt.make("ExtendedHansenTaxi-v4")
+    with pytest.raises(ValueError):
+        make_fused_q_trainer(ext, 1024, 8)
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="TPU interpreter PRNG returns zeros on CPU"
+)
+def test_fused_q_trainer_learns_on_hardware():
+    """Hardware: epsilon-greedy in-kernel training must reach a strong taxi
+    policy (the scan-path agent reaches +0.0285/step optimal; require the
+    same learning signature: positive reward, frequent dropoffs)."""
+    from gym_po_tpu.agents import greedy_policy
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("Taxi-v4")
+    B = 4096  # ~8 same-state duplicates per batch: effective lr stays <0.5
+    q = np.zeros((512, 5), np.float32)
+    # ONE executable (compiles cost minutes on the tunnel); the lr/epsilon
+    # schedule rides the SMEM scalars (same 3-phase shape as solve_taxi)
+    run = make_fused_q_trainer(env, B, 4096)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
+    qb = jnp.asarray(q_to_banks(q))
+    for i, (lr, eps) in enumerate(
+        [(0.05, 0.3)] * 3 + [(0.02, 0.05)] * 3 + [(0.01, 0.01)] * 2
+    ):
+        s, qb, _ = run(jnp.asarray([i + 1], jnp.int32), lr, eps, s, qb)
+    q = banks_to_q(np.asarray(qb), 512)
+
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, greedy_policy(jnp.asarray(q[:500])), 1024, 256)
+    )(jax.random.PRNGKey(9))
+    r = np.asarray(traj.reward)
+    assert r.mean() > 0.02, r.mean()
+    assert (r > 0.5).sum() / 1024 > 15, (r > 0.5).sum() / 1024
