@@ -23,7 +23,9 @@ matmul rounding.
 
 Like the rest of the fused family the kernel draws from the hardware PRNG
 (stats-matched, not bit-exact, vs the threefry scan path).  Classic-map
-taxi only (``ns <= 512``, ``cells*4 <= 128``).
+taxi only (``ns <= 512``, ``cells*4 <= 128``); both the fully-observable
+(``Taxi-v4``) and Hansen partial-obs (``HansenTaxi-v4``, Q indexed by the
+in-kernel-computed observation code — POMDP tabular control) variants.
 """
 
 from __future__ import annotations
@@ -62,6 +64,16 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
     ``average_duplicates=True`` divides each entry's summed update by its
     duplicate count (a second mask matmul), making lr batch-size-invariant —
     use it to train at B=64k full speed.
+
+    Works on the fully-observable Taxi (Q indexed by the state int) AND the
+    Hansen partial-obs variant (``env.hansen``): the kernel computes the
+    Hansen code arithmetically from the wall-code bank each step and indexes
+    the Q-table by OBSERVATION — in-kernel POMDP tabular control (reference
+    obs encode extended_taxi.py:366-372).  NOTE a memoryless tabular policy
+    cannot solve Hansen taxi (perceptual aliasing; verified: the XLA agent
+    plateaus at the same -0.05/step) — the POMDP path is for
+    aliasing/abstraction research, not for reaching the MDP optimum (use
+    ``agents.ppo_rnn`` for memoryful POMDP control).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     t = env.tables
@@ -93,10 +105,16 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
     la_bank = np.full((1, W), nlocs, np.int32)
     la_bank[0, :nc] = np.asarray(env._loc_at)
     la = jnp.asarray(la_bank)
+    hansen = bool(getattr(env, "hansen", False))
+    hc_bank = np.zeros((1, W), np.int32)
+    if hansen:
+        hc_bank[0, :nc] = np.asarray(env._hansen_cell).reshape(-1)[:nc]
+    hc = jnp.asarray(hc_bank)
 
     gamma_f = float(gamma)
 
-    def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref, *outs):
+    def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref,
+               hc_ref, *outs):
         s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
         pltpu.prng_seed(seed_ref[0])
         lr_v = lr_ref[0]
@@ -104,6 +122,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
         cm_b = jnp.broadcast_to(cm_ref[:], (R, W))
         la_b = jnp.broadcast_to(la_ref[:], (R, W))
+        hc_b = jnp.broadcast_to(hc_ref[:], (R, W))
 
         def gather(idx, tab):
             return jnp.take_along_axis(tab, idx, axis=1)
@@ -143,9 +162,21 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                 best_a = jnp.where(better, a, best_a)
             return best_a, best_v
 
+        def obs_of(s):
+            """Q index: the state itself, or its Hansen observation code."""
+            if not hansen:
+                return s
+            rc = s // pd
+            rem = s % pd
+            return (
+                jnp.take_along_axis(hc_b, rc, axis=1) * (nlocs + 1)
+                + rem // nlocs
+            ) * nlocs + rem % nlocs
+
         def body(step, carry):
             s, q, completed, elapsed, racc = carry
-            vals = qvals(q, s)
+            qidx = obs_of(s)
+            vals = qvals(q, qidx)
             greedy, _ = argmax5(vals)
             explore = r24() < eps24
             a = jnp.where(explore, rbits(5), greedy)
@@ -187,7 +218,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             s_mid = (rc2 * (nlocs + 1) + p3) * nlocs + d3
 
             # --- TD target from the PRE-(full-)reset terminal state ---
-            _, next_v = argmax5(qvals(q, s_mid))
+            _, next_v = argmax5(qvals(q, obs_of(s_mid)))
             target = rew + jnp.float32(gamma_f) * next_v * jnp.where(
                 done, jnp.float32(0.0), jnp.float32(1.0)
             )
@@ -196,8 +227,8 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             # --- MXU scatter: C[hi, lo] += lr*td over all envs ---
             # (staged through VMEM scratch: Mosaic supports dynamic sublane
             # slicing on refs, not on values)
-            hi_scr[:] = a * nsb + (s >> 7)
-            lo_scr[:] = s & (W - 1)
+            hi_scr[:] = a * nsb + (qidx >> 7)
+            lo_scr[:] = qidx & (W - 1)
             wtd_scr[:] = lr_v * td
 
             def hist_chunk(c, acc):
@@ -269,7 +300,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 5,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
@@ -282,7 +313,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                 pltpu.VMEM((R, W), jnp.float32),
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
-          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la)
+          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc)
 
     return run
 

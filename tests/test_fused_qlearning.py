@@ -32,6 +32,15 @@ def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
     la = np.asarray(env._loc_at)
     n_pass = env.num_passengers
     time_limit = env.time_limit
+    if getattr(env, "hansen", False):
+        hc = np.asarray(env._hansen_cell)
+
+        def obs_of(s):
+            rc, rem = s // pd, s % pd
+            return (hc[rc] * (nlocs + 1) + rem // nlocs) * nlocs + rem % nlocs
+    else:
+        def obs_of(s):
+            return s
 
     s = s0.astype(np.int64).copy()
     q = q.astype(np.float64).copy()  # f64 accumulate: mirror is the oracle
@@ -39,7 +48,8 @@ def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
     elapsed = np.zeros_like(s)
     racc = np.zeros(s.shape, np.float64)
     for _ in range(K):
-        vals = q[s]  # [B, 5]
+        qidx = obs_of(s)
+        vals = q[qidx]  # [B, 5]
         a = np.argmax(vals, axis=1)  # first-max ties, as the kernel
         q_taken = vals[np.arange(s.size), a]
 
@@ -68,16 +78,16 @@ def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
         p3 = np.where(task, 0, p2)
         d3 = np.where(task, 1, d)
         s_mid = (rc2 * (nlocs + 1) + p3) * nlocs + d3
-        next_v = q[s_mid].max(axis=1)
+        next_v = q[obs_of(s_mid)].max(axis=1)
         td = rew + gamma * next_v * (1.0 - done) - q_taken
         if average_duplicates:
             dq = np.zeros_like(q)
             cnt = np.zeros_like(q)
-            np.add.at(dq, (s, a), lr * td)
-            np.add.at(cnt, (s, a), 1.0)
+            np.add.at(dq, (qidx, a), lr * td)
+            np.add.at(cnt, (qidx, a), 1.0)
             q = q + dq / np.maximum(cnt, 1.0)
         else:
-            np.add.at(q, (s, a), lr * td)
+            np.add.at(q, (qidx, a), lr * td)
 
         # full reset with zero draws: rc=0, pr=0, dr=1 -> s = 1
         reset = done | trunc
@@ -155,6 +165,36 @@ def test_fused_q_trainer_average_duplicates_matches_mirror():
     # mean mode keeps Q bounded, so plain tolerances suffice
     np.testing.assert_allclose(q_k[: env.tables.ns], q_m[: env.tables.ns],
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_hansen_pomdp_matches_mirror():
+    """POMDP mode: the Q-table is indexed by the in-kernel-computed Hansen
+    observation code, not the full state."""
+    env = gpt.make("HansenTaxi-v4")
+    B, K = 1024, 16
+    lr, gamma = 0.1, 0.9
+    _, st = env.reset_vec(jax.random.PRNGKey(7), B)
+    s0 = np.asarray(st.s)
+    rng = np.random.default_rng(2)
+    q0 = rng.normal(scale=0.1, size=(512, 5)).astype(np.float32)
+    q0[int(env.observation_space.n):] = 0.0
+
+    run = make_fused_q_trainer(env, B, K, gamma, average_duplicates=True,
+                               interpret=True)
+    s_k, qb_k, _ = run(
+        jnp.asarray([5], jnp.int32), lr, 0.0,
+        jnp.asarray(s0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512)
+    s_m, q_m, _ = _numpy_mirror(env, s0, q0, K, lr, gamma,
+                                average_duplicates=True)
+    n_obs = int(env.observation_space.n)
+    np.testing.assert_array_equal(np.asarray(s_k).reshape(-1), s_m)
+    np.testing.assert_allclose(q_k[:n_obs], q_m[:n_obs], rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.skipif(
