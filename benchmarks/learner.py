@@ -62,6 +62,43 @@ def bench_fused_q(args):
     )
 
 
+def bench_rnn(args):
+    """Recurrent (GRU) PPO: sequence replay inside the update."""
+    from gym_po_tpu.agents import PPOConfig, init_rnn_state, make_rnn_train_step
+
+    env = gpt.make(args.env)
+    cfg = PPOConfig(
+        num_envs=args.num_envs,
+        rollout_steps=args.rollout,
+        hidden=tuple(args.hidden),
+        shuffle="none",  # rnn minibatches split the env axis
+    )
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0))
+    step = make_rnn_train_step(env, net, cfg)
+    ts, m = step(ts)
+    _ = float(m["loss"])  # scalar-fetch sync
+    steps_per_update = cfg.num_envs * cfg.rollout_steps
+    rates = []
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        for _ in range(args.updates):
+            ts, m = step(ts)
+        _ = float(m["loss"])
+        rates.append(steps_per_update * args.updates / (time.perf_counter() - t0))
+    rates.sort()
+    print(
+        json.dumps(
+            {
+                "metric": f"ppo_rnn_env_steps_per_s ({args.env}, "
+                f"B={args.num_envs}, T={args.rollout}, 1 chip)",
+                "value": round(rates[len(rates) // 2]),
+                "unit": "steps/s",
+                "device": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="ExtendedHansenTaxi-v4")
@@ -76,10 +113,14 @@ def main():
     p.add_argument("--fused-q", action="store_true",
                    help="benchmark the Pallas in-kernel Q-learning trainer "
                         "(classic Taxi) instead of PPO")
+    p.add_argument("--rnn", action="store_true",
+                   help="benchmark the recurrent (GRU) PPO learner")
     args = p.parse_args()
 
     if args.fused_q:
         return bench_fused_q(args)
+    if args.rnn:
+        return bench_rnn(args)
 
     env = gpt.make(args.env)
     cfg = PPOConfig(
