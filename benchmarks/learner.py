@@ -24,19 +24,38 @@ from gym_po_tpu.agents import (  # noqa: E402
 
 
 def bench_fused_q(args):
-    """In-kernel tabular Q-learning (ops/fused_qlearning.py), classic Taxi."""
+    """In-kernel tabular Q-learning (ops/fused_qlearning.py): taxi family,
+    or rooms when --env names a Rooms config."""
     import numpy as np
 
     import jax.numpy as jnp
 
-    from gym_po_tpu.ops import make_fused_q_trainer, q_to_banks
+    from gym_po_tpu.ops import (
+        make_fused_q_trainer,
+        make_fused_q_trainer_rooms,
+        q_to_banks,
+    )
 
-    env = gpt.make("Taxi-v4")
     B, K = args.num_envs, 256
-    run = make_fused_q_trainer(env, B, K)
-    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
-    s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
-    q = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
+    if "Rooms" in args.env:
+        env = gpt.make(args.env)
+        run = make_fused_q_trainer_rooms(env, B, K, average_duplicates=True)
+        GW = env.grid_np.shape[1]
+        _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+        s = jnp.asarray(
+            np.asarray(st.agent_yx[:, 0] * GW + st.agent_yx[:, 1])
+            .reshape(-1, 128), jnp.int32,
+        )
+        q = jnp.asarray(q_to_banks(np.zeros((512, env.num_actions),
+                                            np.float32)))
+        bench_name = args.env
+    else:
+        env = gpt.make("Taxi-v4")
+        run = make_fused_q_trainer(env, B, K)
+        _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+        s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
+        q = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
+        bench_name = "Taxi-v4"
     s, q, rew = run(jnp.asarray([1], jnp.int32), 0.1, 0.1, s, q)
     _ = float(jnp.sum(rew))  # scalar-fetch sync
     rates = []
@@ -52,7 +71,7 @@ def bench_fused_q(args):
     print(
         json.dumps(
             {
-                "metric": f"fused_q_train_steps_per_s (Taxi-v4, B={B}, "
+                "metric": f"fused_q_train_steps_per_s ({bench_name}, B={B}, "
                 f"K={K}, 1 chip)",
                 "value": round(rates[len(rates) // 2]),
                 "unit": "steps/s",

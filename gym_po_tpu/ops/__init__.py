@@ -10,7 +10,12 @@ from .fused_crooms import make_fused_crooms_rollout
 from .fused_msrooms import make_fused_msrooms_rollout
 from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
-from .fused_qlearning import banks_to_q, make_fused_q_trainer, q_to_banks
+from .fused_qlearning import (
+    banks_to_q,
+    make_fused_q_trainer,
+    make_fused_q_trainer_rooms,
+    q_to_banks,
+)
 from .fused_tag import make_fused_heavenhell_rollout, make_fused_tag_rollout
 from .fused_taxi import make_fused_taxi_rollout, state_policy_table
 
@@ -28,6 +33,7 @@ __all__ = [
     "make_fused_heavenhell_rollout",
     "state_policy_table",
     "make_fused_q_trainer",
+    "make_fused_q_trainer_rooms",
     "q_to_banks",
     "banks_to_q",
 ]

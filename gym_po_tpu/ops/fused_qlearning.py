@@ -38,10 +38,81 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_fused_q_trainer"]
+__all__ = ["make_fused_q_trainer", "make_fused_q_trainer_rooms"]
 
 W = 128
 NB = 32  # Q bank rows: 5 actions x (512/128) state banks = 20 used, pad 32
+NSB = 4  # obs banks per action (512 / 128)
+
+
+def _q_lookup(q, idx, R, n_act):
+    """Q[idx, a] for every action: exact lane shuffles per (a, hi) bank."""
+    lo = idx & (W - 1)
+    hi = idx >> 7
+    vals = []
+    for a in range(n_act):
+        v = None
+        for b in range(NSB):
+            bank = jnp.broadcast_to(
+                jax.lax.slice(q, (a * NSB + b, 0), (a * NSB + b + 1, W)),
+                (R, W),
+            )
+            g = jnp.take_along_axis(bank, lo, axis=1)
+            v = g if v is None else jnp.where(hi == b, g, v)
+        vals.append(v)
+    return vals
+
+
+def _first_argmax(vals, R):
+    """First-max index over the action values (matches jnp.argmax ties)."""
+    best_v = vals[0]
+    best_a = jnp.zeros((R, W), jnp.int32)
+    for a in range(1, len(vals)):
+        better = vals[a] > best_v
+        best_v = jnp.where(better, vals[a], best_v)
+        best_a = jnp.where(better, a, best_a)
+    return best_a, best_v
+
+
+def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates):
+    """Duplicate-accumulating scatter C[hi,lo] += w via per-row mask matmuls
+    (TPUs have no scatter; the env axis is contracted on the MXU)."""
+
+    def hist_chunk(c, acc):
+        acc_s, acc_n = acc
+        hi8 = hi_scr[pl.ds(c * 8, 8), :]
+        lo8 = lo_scr[pl.ds(c * 8, 8), :]
+        w8 = wtd_scr[pl.ds(c * 8, 8), :]
+        for r in range(8):
+            lo_r = jax.lax.slice(lo8, (r, 0), (r + 1, W))
+            hi_r = jax.lax.slice(hi8, (r, 0), (r + 1, W))
+            w_r = jax.lax.slice(w8, (r, 0), (r + 1, W))
+            P = (
+                jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+                == jnp.broadcast_to(lo_r, (W, W))
+            ).astype(jnp.float32)
+            M = (
+                jax.lax.broadcasted_iota(jnp.int32, (NB, W), 0)
+                == jnp.broadcast_to(hi_r, (NB, W))
+            ).astype(jnp.float32)
+            X = M * jnp.broadcast_to(w_r, (NB, W))
+            acc_s = acc_s + jax.lax.dot_general(
+                X, P, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if average_duplicates:  # duplicate counts: same masks
+                acc_n = acc_n + jax.lax.dot_general(
+                    M, P, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        return (acc_s, acc_n)
+
+    zero_nb = jnp.zeros((NB, W), jnp.float32)
+    dq, cnt = jax.lax.fori_loop(0, R // 8, hist_chunk, (zero_nb, zero_nb))
+    if average_duplicates:
+        dq = dq / jnp.maximum(cnt, jnp.float32(1.0))
+    return dq
 
 
 def make_fused_q_trainer(env, num_envs: int, num_steps: int,
@@ -136,31 +207,10 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             return u.astype(jnp.int32)
 
         def qvals(q, s):
-            """Q[s, a] for all 5 actions: lane shuffles per (a, s_hi) bank."""
-            lo = s & (W - 1)
-            hi = s >> 7  # 0..3
-            vals = []
-            for a in range(5):
-                v = None
-                for b in range(nsb):
-                    bank = jnp.broadcast_to(
-                        jax.lax.slice(q, (a * nsb + b, 0), (a * nsb + b + 1, W)),
-                        (R, W),
-                    )
-                    g = gather(lo, bank)
-                    v = g if v is None else jnp.where(hi == b, g, v)
-                vals.append(v)
-            return vals
+            return _q_lookup(q, s, R, 5)
 
         def argmax5(vals):
-            """First-max index over the 5 action values (matches jnp.argmax)."""
-            best_v = vals[0]
-            best_a = jnp.zeros((R, W), jnp.int32)
-            for a in range(1, 5):
-                better = vals[a] > best_v
-                best_v = jnp.where(better, vals[a], best_v)
-                best_a = jnp.where(better, a, best_a)
-            return best_a, best_v
+            return _first_argmax(vals, R)
 
         def obs_of(s):
             """Q index: the state itself, or its Hansen observation code."""
@@ -230,44 +280,8 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             hi_scr[:] = a * nsb + (qidx >> 7)
             lo_scr[:] = qidx & (W - 1)
             wtd_scr[:] = lr_v * td
-
-            def hist_chunk(c, acc):
-                acc_s, acc_n = acc
-                hi8 = hi_scr[pl.ds(c * 8, 8), :]
-                lo8 = lo_scr[pl.ds(c * 8, 8), :]
-                w8 = wtd_scr[pl.ds(c * 8, 8), :]
-                for r in range(8):
-                    lo_r = jax.lax.slice(lo8, (r, 0), (r + 1, W))
-                    hi_r = jax.lax.slice(hi8, (r, 0), (r + 1, W))
-                    w_r = jax.lax.slice(w8, (r, 0), (r + 1, W))
-                    P = (
-                        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-                        == jnp.broadcast_to(lo_r, (W, W))
-                    ).astype(jnp.float32)
-                    M = (
-                        jax.lax.broadcasted_iota(jnp.int32, (NB, W), 0)
-                        == jnp.broadcast_to(hi_r, (NB, W))
-                    ).astype(jnp.float32)
-                    X = M * jnp.broadcast_to(w_r, (NB, W))
-                    acc_s = acc_s + jax.lax.dot_general(
-                        X, P, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    if average_duplicates:  # duplicate counts: same masks
-                        acc_n = acc_n + jax.lax.dot_general(
-                            M, P, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                return (acc_s, acc_n)
-
-            zero_nb = jnp.zeros((NB, W), jnp.float32)
-            dq, cnt = jax.lax.fori_loop(
-                0, R // 8, hist_chunk, (zero_nb, zero_nb)
-            )
-            if average_duplicates:
-                dq = dq / jnp.maximum(cnt, jnp.float32(1.0))
-            q = q + dq
+            q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
+                                 average_duplicates)
 
             # --- full episode resets (as fused_taxi) ---
             reset = done | trunc
@@ -314,6 +328,206 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc)
+
+    return run
+
+
+def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
+                               gamma: float = 0.99,
+                               average_duplicates: bool = False,
+                               interpret: bool = False):
+    """In-kernel tabular Q-learning for :class:`Rooms` (fixed goal).
+
+    Same contract as :func:`make_fused_q_trainer` —
+    ``run(seed, lr, epsilon, agent, q) -> (agent', q', reward_sums)`` with
+    ``agent`` the flat-cell tile ``[B//128, 128]`` — generalized to ANY
+    discrete observation model: the per-cell observation table is
+    precomputed host-side by evaluating the env's own ``_obs_fn`` on every
+    cell (mdp / hansen / room abstractions all work), and the kernel
+    indexes the Q-table by observation.  Stochastic action failure is
+    sampled from its generative process exactly as :mod:`.fused_rooms`;
+    the Q update is indexed by the COMMANDED action (the agent's choice),
+    matching the XLA agent.
+    """
+    from ..core import Discrete
+
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+    if not isinstance(env.observation_space, Discrete):
+        raise ValueError("rooms Q trainer needs a Discrete observation space")
+    n_obs = int(env.observation_space.n)
+    if n_obs > 512:
+        raise ValueError(f"n_obs={n_obs} > 512: Q banks would exceed 32 rows")
+    if env.fixed_goal_yx is None:
+        raise ValueError("rooms Q trainer requires a fixed goal")
+    grid_np = env.grid_np
+    H, GW = grid_np.shape
+    ncells = H * GW
+    A = int(env.num_actions)
+    if A * NSB > NB:
+        raise ValueError(f"{A} actions exceed the {NB}-row Q bank")
+    disp = np.asarray(env._actions)
+    disp_flat = (disp[:, 0] * GW + disp[:, 1]).astype(np.int32)
+    p_fail = 1.0 - float(env._cum[0][0])
+    step_r, wall_r, goal_r = env.step_reward, env.wall_reward, env.goal_reward
+    time_limit = int(env.time_limit)
+    goal_flat = int(env.fixed_goal_yx[0] * GW + env.fixed_goal_yx[1])
+    fixed_agent = env.fixed_agent_yx
+    fixed_agent_flat = (
+        int(fixed_agent[0] * GW + fixed_agent[1])
+        if fixed_agent is not None else -1
+    )
+
+    def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
+        n_rows = -(-values.size // W)
+        bank = np.full((n_rows, W), fill, np.int32)
+        bank.reshape(-1)[: values.size] = values
+        return bank
+
+    # per-cell observation table via the env's own obs fn (host, once)
+    cells_yx = np.stack(np.divmod(np.arange(ncells), GW), -1).astype(np.int32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        obs_all = np.asarray(
+            jax.vmap(
+                lambda yx: env._obs_fn(yx, jnp.asarray(env.fixed_goal_yx))
+            )(jnp.asarray(cells_yx)),
+            np.int64,
+        )
+    obs_tab = np.clip(obs_all, 0, n_obs - 1).astype(np.int32)
+    obs_tab[grid_np.reshape(-1) == -1] = 0  # walls: never queried
+
+    wall_bank = _rows_bank((grid_np.reshape(-1) == -1).astype(np.int32), 1)
+    valid_cells = np.flatnonzero(grid_np.reshape(-1) >= 0).astype(np.int32)
+    n_valid = valid_cells.size
+    valid_bank = _rows_bank(valid_cells, 0)
+    obs_bank = _rows_bank(obs_tab, 0)
+    disp_bank = _rows_bank(disp_flat, 0)
+    n_wall_rows, n_valid_rows = wall_bank.shape[0], valid_bank.shape[0]
+    n_obs_rows = obs_bank.shape[0]
+    wall_b = jnp.asarray(wall_bank)
+    valid_b = jnp.asarray(valid_bank)
+    obs_b = jnp.asarray(obs_bank)
+    disp_b = jnp.asarray(disp_bank)
+
+    if num_envs % W:
+        raise ValueError("num_envs must be a multiple of 128")
+    R = num_envs // W
+    if R % 8:
+        raise ValueError("num_envs must be a multiple of 1024")
+    gamma_f = float(gamma)
+
+    def kernel(seed_ref, lr_ref, eps_ref, a_ref, q_ref,
+               wall_r_, valid_r_, obs_r_, disp_r_, *outs):
+        a_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
+        pltpu.prng_seed(seed_ref[0])
+        lr_v = lr_ref[0]
+        eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
+
+        def shuffle(lane_idx, row):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(row, (R, W)), lane_idx, axis=1
+            )
+
+        def bank_gather(idx, bank_ref, n_rows):
+            lane = idx % W
+            row = idx // W
+            out = shuffle(lane, bank_ref[0:1, :])
+            for r in range(1, n_rows):
+                out = jnp.where(
+                    row == r, shuffle(lane, bank_ref[r : r + 1, :]), out
+                )
+            return out
+
+        def rbits(n):
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
+            return (u % n).astype(jnp.int32)
+
+        def r24():
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
+            return u.astype(jnp.int32)
+
+        def sample_agent():
+            if fixed_agent_flat >= 0:
+                return jnp.full((R, W), fixed_agent_flat, jnp.int32)
+            return bank_gather(rbits(n_valid), valid_r_, n_valid_rows)
+
+        def body(step, carry):
+            agent, q, elapsed, racc = carry
+            qidx = bank_gather(agent, obs_r_, n_obs_rows)
+            vals = _q_lookup(q, qidx, R, A)
+            greedy, _ = _first_argmax(vals, R)
+            explore = r24() < eps24
+            a_cmd = jnp.where(explore, rbits(A), greedy)
+            q_taken = vals[0]
+            for i in range(1, A):
+                q_taken = jnp.where(a_cmd == i, vals[i], q_taken)
+
+            # stochastic failure from its generative process
+            fail = r24() < jnp.int32(int(p_fail * (1 << 24)))
+            alt = rbits(A - 1)
+            executed = jnp.where(fail, alt + (alt >= a_cmd), a_cmd)
+            d = shuffle(executed, disp_r_[0:1, :])
+            proposed = jnp.clip(agent + d, 0, ncells - 1)
+            oob = bank_gather(proposed, wall_r_, n_wall_rows) == 1
+            agent2 = jnp.where(oob, agent, proposed)
+            done = agent2 == goal_flat
+            rew = jnp.where(
+                done,
+                jnp.float32(goal_r),
+                jnp.where(oob, jnp.float32(wall_r), jnp.float32(step_r)),
+            )
+            elapsed = elapsed + 1
+            trunc = elapsed > time_limit
+
+            # TD target from the pre-reset next state
+            qidx2 = bank_gather(agent2, obs_r_, n_obs_rows)
+            _, next_v = _first_argmax(_q_lookup(q, qidx2, R, A), R)
+            target = rew + jnp.float32(gamma_f) * next_v * jnp.where(
+                done, jnp.float32(0.0), jnp.float32(1.0)
+            )
+            td = target - q_taken
+            hi_scr[:] = a_cmd * NSB + (qidx >> 7)
+            lo_scr[:] = qidx & (W - 1)
+            wtd_scr[:] = lr_v * td
+            q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
+                                 average_duplicates)
+
+            reset = done | trunc
+            agent3 = jnp.where(reset, sample_agent(), agent2)
+            elapsed = jnp.where(reset, 0, elapsed)
+            return (agent3, q, elapsed, racc + rew)
+
+        zeros = jnp.zeros((R, W), jnp.int32)
+        agent, q, _, racc = jax.lax.fori_loop(
+            0, num_steps, body,
+            (a_ref[:], q_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
+        )
+        a_out[:] = agent
+        q_out[:] = q
+        rew_ref[:] = racc
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
+            agent: jax.Array, q: jax.Array):
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret_mode,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
+            out_specs=(vspec, vspec, vspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, W), jnp.int32),
+                jax.ShapeDtypeStruct((NB, W), jnp.float32),
+                jax.ShapeDtypeStruct((R, W), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.float32),
+            ],
+        )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
+          jnp.asarray(epsilon, jnp.float32).reshape(1), agent, q,
+          wall_b, valid_b, obs_b, disp_b)
 
     return run
 

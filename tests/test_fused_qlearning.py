@@ -17,6 +17,7 @@ import gym_po_tpu as gpt
 from gym_po_tpu.ops.fused_qlearning import (
     banks_to_q,
     make_fused_q_trainer,
+    make_fused_q_trainer_rooms,
     q_to_banks,
 )
 
@@ -197,6 +198,99 @@ def test_fused_q_trainer_hansen_pomdp_matches_mirror():
     np.testing.assert_allclose(q_k[:n_obs], q_m[:n_obs], rtol=1e-4, atol=1e-5)
 
 
+def _numpy_mirror_rooms(env, a0, q, K, lr, gamma, average_duplicates=True):
+    """Zero-PRNG greedy mirror of the rooms kernel (eps=0).
+
+    With zero draws: the failure coin always fires (p_fail > 0), the
+    alternate action is 0 → executed = 1 if commanded==0 else 0; resets
+    spawn at valid_cells[0]."""
+    grid = env.grid_np
+    H, GW = grid.shape
+    disp = np.asarray(env._actions)
+    disp_flat = disp[:, 0] * GW + disp[:, 1]
+    goal_flat = int(env.fixed_goal_yx[0] * GW + env.fixed_goal_yx[1])
+    valid0 = int(np.flatnonzero(grid.reshape(-1) >= 0)[0])
+    wall = grid.reshape(-1) == -1
+    n_obs = int(env.observation_space.n)
+    cells_yx = np.stack(np.divmod(np.arange(H * GW), GW), -1).astype(np.int32)
+    obs_tab = np.asarray(
+        jax.vmap(lambda yx: env._obs_fn(yx, jnp.asarray(env.fixed_goal_yx)))(
+            jnp.asarray(cells_yx)
+        ),
+        np.int64,
+    )
+    obs_tab = np.clip(obs_tab, 0, n_obs - 1)
+    obs_tab[wall] = 0
+    p_fail = 1.0 - float(env._cum[0][0])
+    assert p_fail > 0  # zero-draw mirror assumes the coin always fires
+
+    agent = a0.astype(np.int64).copy()
+    q = q.astype(np.float64).copy()
+    elapsed = np.zeros_like(agent)
+    racc = np.zeros(agent.shape, np.float64)
+    for _ in range(K):
+        qidx = obs_tab[agent]
+        a_cmd = np.argmax(q[qidx], axis=1)
+        q_taken = q[qidx, a_cmd]
+        executed = np.where(a_cmd == 0, 1, 0)
+        proposed = np.clip(agent + disp_flat[executed], 0, H * GW - 1)
+        oob = wall[proposed]
+        agent2 = np.where(oob, agent, proposed)
+        done = agent2 == goal_flat
+        rew = np.where(
+            done, env.goal_reward, np.where(oob, env.wall_reward,
+                                            env.step_reward)
+        )
+        elapsed += 1
+        trunc = elapsed > env.time_limit
+        qidx2 = obs_tab[agent2]
+        next_v = q[qidx2].max(axis=1)
+        td = rew + gamma * next_v * (1.0 - done) - q_taken
+        if average_duplicates:
+            dq = np.zeros_like(q)
+            cnt = np.zeros_like(q)
+            np.add.at(dq, (qidx, a_cmd), lr * td)
+            np.add.at(cnt, (qidx, a_cmd), 1.0)
+            q = q + dq / np.maximum(cnt, 1.0)
+        else:
+            np.add.at(q, (qidx, a_cmd), lr * td)
+        reset = done | trunc
+        agent = np.where(reset, valid0, agent2)
+        elapsed = np.where(reset, 0, elapsed)
+        racc += rew
+    return agent, q, racc
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_rooms_matches_mirror():
+    env = gpt.make("Rooms-v0")  # layout '4', mdp obs, 8 ordinal actions
+    B, K = 1024, 20
+    lr, gamma = 0.2, 0.9
+    GW = env.grid_np.shape[1]
+    _, st = env.reset_vec(jax.random.PRNGKey(5), B)
+    a0 = np.asarray(st.agent_yx[:, 0] * GW + st.agent_yx[:, 1], np.int64)
+    n_obs = int(env.observation_space.n)
+    rng = np.random.default_rng(4)
+    q0 = np.zeros((512, 8), np.float32)
+    q0[:n_obs] = rng.normal(scale=0.1, size=(n_obs, 8)).astype(np.float32)
+
+    run = make_fused_q_trainer_rooms(env, B, K, gamma,
+                                     average_duplicates=True, interpret=True)
+    a_k, qb_k, racc_k = run(
+        jnp.asarray([3], jnp.int32), lr, 0.0,
+        jnp.asarray(a0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512, na=8)
+    a_m, q_m, racc_m = _numpy_mirror_rooms(env, a0, q0, K, lr, gamma)
+    np.testing.assert_array_equal(np.asarray(a_k).reshape(-1), a_m)
+    np.testing.assert_allclose(np.asarray(racc_k).reshape(-1), racc_m,
+                               atol=1e-5)
+    np.testing.assert_allclose(q_k[:n_obs], q_m[:n_obs], rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.skipif(
     ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
 )
@@ -207,6 +301,38 @@ def test_fused_q_trainer_rejects_bad_configs():
     ext = gpt.make("ExtendedHansenTaxi-v4")
     with pytest.raises(ValueError):
         make_fused_q_trainer(ext, 1024, 8)
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="TPU interpreter PRNG returns zeros on CPU"
+)
+def test_fused_q_trainer_rooms_learns_on_hardware():
+    """Hardware: in-kernel training must learn goal-directed navigation
+    (greedy reward far above the random policy's)."""
+    from gym_po_tpu.agents import greedy_policy
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("Rooms-v0")
+    B = 4096
+    GW = env.grid_np.shape[1]
+    n_obs = int(env.observation_space.n)
+    run = make_fused_q_trainer_rooms(env, B, 4096, average_duplicates=True)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    a = jnp.asarray(
+        np.asarray(st.agent_yx[:, 0] * GW + st.agent_yx[:, 1]).reshape(-1, 128),
+        jnp.int32,
+    )
+    qb = jnp.asarray(q_to_banks(np.zeros((512, 8), np.float32)))
+    for i, (lr, eps) in enumerate([(0.2, 0.3)] * 2 + [(0.05, 0.05)] * 2):
+        a, qb, _ = run(jnp.asarray([i + 1], jnp.int32), lr, eps, a, qb)
+    q = banks_to_q(np.asarray(qb), 512, na=8)[:n_obs]
+
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, greedy_policy(jnp.asarray(q)), 1024, 256)
+    )(jax.random.PRNGKey(9))
+    r = np.asarray(traj.reward)
+    goals_per_env = (r > 0.5).sum() / 1024
+    assert goals_per_env > 2.0, goals_per_env
 
 
 @pytest.mark.skipif(
