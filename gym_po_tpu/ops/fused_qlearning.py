@@ -348,6 +348,9 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
     sampled from its generative process exactly as :mod:`.fused_rooms`;
     the Q update is indexed by the COMMANDED action (the agent's choice),
     matching the XLA agent.
+
+    ``lr=0, epsilon=0`` turns the same executable into greedy POLICY
+    EVALUATION of the supplied Q-table at full kernel speed.
     """
     from ..core import Discrete
 

@@ -29,6 +29,7 @@ __all__ = [
     "render_car",
     "render_tag",
     "render_heavenhell",
+    "render_rocksample",
     "render",
     "human_view",
 ]
@@ -315,6 +316,28 @@ def render_heavenhell(env, state, idx=None) -> np.ndarray:
 
 
 # --------------------------------------------------------------- dispatch
+def render_rocksample(env, state, idx=None) -> np.ndarray:
+    """RockSample(n,k) frame: grid, rocks colored by latent quality, rover,
+    exit column on the east edge (sample-and-exit task, Smith & Simmons)."""
+    idx = _indices(idx)
+    pos = _select(state.pos_yx, idx)
+    good = _select(state.rock_good, idx)
+    frames = []
+    for k in range(len(idx)):
+        img = _blank(env.rows * CELL_PX, (env.cols + 1) * CELL_PX,
+                     COLORS["wall"])
+        for yy in range(env.rows):
+            for xx in range(env.cols):
+                _fill_cell(img, yy, xx, COLORS["floor"], pad=1)
+            _fill_cell(img, yy, env.cols, COLORS["goal"], pad=1)  # exit strip
+        for j, (ry, rx) in enumerate(np.asarray(env.rock_positions_np)):
+            color = COLORS["goal"] if bool(good[k, j]) else COLORS["hell"]
+            _dot(img, int(ry), int(rx), color)
+        _fill_cell(img, int(pos[k, 0]), int(pos[k, 1]), COLORS["agent"], pad=4)
+        frames.append(img)
+    return tile_images(frames)
+
+
 def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     """Dispatch on env type."""
     from ..envs.car_flag import CarFlag
@@ -338,6 +361,10 @@ def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
         return render_tag(env, state, idx)
     if isinstance(env, HeavenHellContinuous):
         return render_heavenhell(env, state, idx)
+    from ..envs.rocksample import RockSample
+
+    if isinstance(env, RockSample):
+        return render_rocksample(env, state, idx)
     raise TypeError(f"No renderer for {type(env).__name__}")
 
 

@@ -89,6 +89,19 @@ def test_render_rgb(ctor, kw):
     assert img.max() > 0  # something was drawn
 
 
+def test_render_rocksample():
+    import jax
+
+    import gym_po_tpu as gpt
+    from gym_po_tpu.render import render
+
+    env = gpt.make("RockSample-v0", map_size=(5, 5), num_rocks=4)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), 3)
+    img = render(env, st, idx=range(3))
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert img.max() > 0
+
+
 def test_tile_images_montage():
     from gym_po_tpu.render import tile_images
 
