@@ -13,6 +13,7 @@ from .fused_rooms import make_fused_rooms_rollout
 from .fused_qlearning import (
     banks_to_q,
     make_fused_q_trainer,
+    make_fused_q_trainer_msrooms,
     make_fused_q_trainer_rooms,
     q_to_banks,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "state_policy_table",
     "make_fused_q_trainer",
     "make_fused_q_trainer_rooms",
+    "make_fused_q_trainer_msrooms",
     "q_to_banks",
     "banks_to_q",
 ]

@@ -21,11 +21,12 @@ lane ``lo = s&127`` of a ``[32, 128]`` f32 VMEM tile (NSP = ns padded to a
 multiple of 128).  Lookups are plain lane shuffles per bank — exact, no
 matmul rounding.
 
-Like the rest of the fused family the kernel draws from the hardware PRNG
-(stats-matched, not bit-exact, vs the threefry scan path).  Classic-map
-taxi only (``ns <= 512``, ``cells*4 <= 128``); both the fully-observable
-(``Taxi-v4``) and Hansen partial-obs (``HansenTaxi-v4``, Q indexed by the
-in-kernel-computed observation code — POMDP tabular control) variants.
+Like the rest of the fused family the kernels draw from the hardware PRNG
+(stats-matched, not bit-exact, vs the threefry scan path).  Three trainers
+share the machinery: classic-map taxi (``ns <= 512``; fully-observable and
+Hansen-POMDP Q indexing), ROOMS with a fixed goal (Q indexed by ANY
+discrete observation model via a precomputed per-cell obs table), and
+MultistoryFourRooms (3-D cells + in-kernel stair transit).
 """
 
 from __future__ import annotations
@@ -38,7 +39,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_fused_q_trainer", "make_fused_q_trainer_rooms"]
+__all__ = [
+    "make_fused_q_trainer",
+    "make_fused_q_trainer_rooms",
+    "make_fused_q_trainer_msrooms",
+]
 
 W = 128
 NB = 32  # Q bank rows: 5 actions x (512/128) state banks = 20 used, pad 32
@@ -531,6 +536,209 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1), agent, q,
           wall_b, valid_b, obs_b, disp_b)
+
+    return run
+
+
+def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
+                                 gamma: float = 0.99,
+                                 average_duplicates: bool = False,
+                                 interpret: bool = False):
+    """In-kernel tabular Q-learning for :class:`MultistoryFourRooms`.
+
+    Same contract as :func:`make_fused_q_trainer_rooms` with the flat zyx
+    cell index as state (``z*H*W + y*W + x``) and in-kernel stair transit
+    (stair_up teleports +floor to the SW square, stair_down -floor to NE —
+    reference msrooms.py:419-428).  Requires a fixed goal; the observation
+    table is precomputed through the env's own obs fn.
+    """
+    from ..core import Discrete
+    from ..envs.msrooms import (
+        DOWNSTAIRS_SW,
+        STAIR_DOWN,
+        STAIR_UP,
+        UPSTAIRS_NE,
+        WALL,
+    )
+
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+    if not isinstance(env.observation_space, Discrete):
+        raise ValueError("msrooms Q trainer needs a Discrete observation space")
+    n_obs = int(env.observation_space.n)
+    if n_obs > 512:
+        raise ValueError(f"n_obs={n_obs} > 512: Q banks would exceed 32 rows")
+    if env.fixed_goal_zyx is None:
+        raise ValueError("msrooms Q trainer requires a fixed goal")
+    grid_np = env.grid_np
+    Z, H, GW = grid_np.shape
+    HW = H * GW
+    ncells = Z * HW
+    A = int(env.num_actions)
+    if A * NSB > NB:
+        raise ValueError(f"{A} actions exceed the {NB}-row Q bank")
+    disp = np.asarray(env._actions)
+    disp_flat = (disp[:, 1] * GW + disp[:, 2]).astype(np.int32)
+    p_fail = 1.0 - float(env._cum[0][0])
+    step_r, wall_r, goal_r = env.step_reward, env.wall_reward, env.goal_reward
+    time_limit = int(env.time_limit)
+    gz, gy, gx = (int(v) for v in env.fixed_goal_zyx)
+    goal_flat = gz * HW + gy * GW + gx
+    sw_flat = DOWNSTAIRS_SW[0] * GW + DOWNSTAIRS_SW[1]
+    ne_flat = UPSTAIRS_NE[0] * GW + UPSTAIRS_NE[1]
+
+    def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
+        n_rows = -(-values.size // W)
+        bank = np.full((n_rows, W), fill, np.int32)
+        bank.reshape(-1)[: values.size] = values
+        return bank
+
+    cells_zyx = np.stack(
+        np.unravel_index(np.arange(ncells), grid_np.shape), -1
+    ).astype(np.int32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        obs_all = np.asarray(
+            jax.vmap(
+                lambda zyx: env._obs_fn(zyx, jnp.asarray(env.fixed_goal_zyx))
+            )(jnp.asarray(cells_zyx)),
+            np.int64,
+        )
+    obs_tab = np.clip(obs_all, 0, n_obs - 1).astype(np.int32)
+    obs_tab[grid_np.reshape(-1) == WALL] = 0
+
+    cell_bank = _rows_bank(grid_np.reshape(-1).astype(np.int32), WALL)
+    agent_cells = np.asarray(env.valid_agent_states, np.int32)
+    n_agent = agent_cells.size
+    agent_bank = _rows_bank(agent_cells, 0)
+    obs_bank = _rows_bank(obs_tab, 0)
+    disp_bank = _rows_bank(disp_flat, 0)
+    n_cell_rows, n_agent_rows = cell_bank.shape[0], agent_bank.shape[0]
+    n_obs_rows = obs_bank.shape[0]
+    cell_b = jnp.asarray(cell_bank)
+    agent_b = jnp.asarray(agent_bank)
+    obs_b = jnp.asarray(obs_bank)
+    disp_b = jnp.asarray(disp_bank)
+
+    if num_envs % W:
+        raise ValueError("num_envs must be a multiple of 128")
+    R = num_envs // W
+    if R % 8:
+        raise ValueError("num_envs must be a multiple of 1024")
+    gamma_f = float(gamma)
+
+    def kernel(seed_ref, lr_ref, eps_ref, a_ref, q_ref,
+               cell_r, agent_r, obs_r, disp_r, *outs):
+        a_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
+        pltpu.prng_seed(seed_ref[0])
+        lr_v = lr_ref[0]
+        eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
+
+        def shuffle(lane_idx, row):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(row, (R, W)), lane_idx, axis=1
+            )
+
+        def bank_gather(idx, bank_ref, n_rows):
+            lane = idx % W
+            row = idx // W
+            out = shuffle(lane, bank_ref[0:1, :])
+            for r in range(1, n_rows):
+                out = jnp.where(
+                    row == r, shuffle(lane, bank_ref[r : r + 1, :]), out
+                )
+            return out
+
+        def rbits(n):
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
+            return (u % n).astype(jnp.int32)
+
+        def r24():
+            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
+            return u.astype(jnp.int32)
+
+        def body(step, carry):
+            agent, q, elapsed, racc = carry
+            qidx = bank_gather(agent, obs_r, n_obs_rows)
+            vals = _q_lookup(q, qidx, R, A)
+            greedy, _ = _first_argmax(vals, R)
+            explore = r24() < eps24
+            a_cmd = jnp.where(explore, rbits(A), greedy)
+            q_taken = vals[0]
+            for i in range(1, A):
+                q_taken = jnp.where(a_cmd == i, vals[i], q_taken)
+
+            fail = r24() < jnp.int32(int(p_fail * (1 << 24)))
+            alt = rbits(A - 1)
+            executed = jnp.where(fail, alt + (alt >= a_cmd), a_cmd)
+            d = shuffle(executed, disp_r[0:1, :])
+            proposed = jnp.clip(agent + d, 0, ncells - 1)
+            oob = bank_gather(proposed, cell_r, n_cell_rows) == WALL
+            agent2 = jnp.where(oob, agent, proposed)
+            # stair transit (reference msrooms.py:419-428)
+            acell = bank_gather(agent2, cell_r, n_cell_rows)
+            z = agent2 // HW
+            go_up = (acell == STAIR_UP) & ~oob
+            go_down = (acell == STAIR_DOWN) & ~oob
+            agent2 = jnp.where(go_up, (z + 1) * HW + sw_flat, agent2)
+            agent2 = jnp.where(go_down, (z - 1) * HW + ne_flat, agent2)
+            done = agent2 == goal_flat
+            rew = jnp.where(
+                done,
+                jnp.float32(goal_r),
+                jnp.where(oob, jnp.float32(wall_r), jnp.float32(step_r)),
+            )
+            elapsed = elapsed + 1
+            trunc = elapsed > time_limit
+
+            qidx2 = bank_gather(agent2, obs_r, n_obs_rows)
+            _, next_v = _first_argmax(_q_lookup(q, qidx2, R, A), R)
+            target = rew + jnp.float32(gamma_f) * next_v * jnp.where(
+                done, jnp.float32(0.0), jnp.float32(1.0)
+            )
+            td = target - q_taken
+            hi_scr[:] = a_cmd * NSB + (qidx >> 7)
+            lo_scr[:] = qidx & (W - 1)
+            wtd_scr[:] = lr_v * td
+            q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
+                                 average_duplicates)
+
+            reset = done | trunc
+            spawn = bank_gather(rbits(n_agent), agent_r, n_agent_rows)
+            agent3 = jnp.where(reset, spawn, agent2)
+            elapsed = jnp.where(reset, 0, elapsed)
+            return (agent3, q, elapsed, racc + rew)
+
+        zeros = jnp.zeros((R, W), jnp.int32)
+        agent, q, _, racc = jax.lax.fori_loop(
+            0, num_steps, body,
+            (a_ref[:], q_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
+        )
+        a_out[:] = agent
+        q_out[:] = q
+        rew_ref[:] = racc
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
+            agent: jax.Array, q: jax.Array):
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret_mode,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
+            out_specs=(vspec, vspec, vspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((R, W), jnp.int32),
+                jax.ShapeDtypeStruct((NB, W), jnp.float32),
+                jax.ShapeDtypeStruct((R, W), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.int32),
+                pltpu.VMEM((R, W), jnp.float32),
+            ],
+        )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
+          jnp.asarray(epsilon, jnp.float32).reshape(1), agent, q,
+          cell_b, agent_b, obs_b, disp_b)
 
     return run
 

@@ -17,6 +17,7 @@ import gym_po_tpu as gpt
 from gym_po_tpu.ops.fused_qlearning import (
     banks_to_q,
     make_fused_q_trainer,
+    make_fused_q_trainer_msrooms,
     make_fused_q_trainer_rooms,
     q_to_banks,
 )
@@ -291,6 +292,113 @@ def test_fused_q_trainer_rooms_matches_mirror():
     np.testing.assert_allclose(q_k[:n_obs], q_m[:n_obs], rtol=1e-4, atol=1e-5)
 
 
+def _numpy_mirror_msrooms(env, a0, q, K, lr, gamma):
+    """Zero-PRNG greedy mirror of the msrooms kernel (eps=0, mean dups)."""
+    from gym_po_tpu.envs.msrooms import (
+        DOWNSTAIRS_SW,
+        STAIR_DOWN,
+        STAIR_UP,
+        UPSTAIRS_NE,
+        WALL,
+    )
+
+    grid = env.grid_np
+    Z, H, GW = grid.shape
+    HW = H * GW
+    ncells = Z * HW
+    disp = np.asarray(env._actions)
+    disp_flat = disp[:, 1] * GW + disp[:, 2]
+    gz, gy, gx = (int(v) for v in env.fixed_goal_zyx)
+    goal_flat = gz * HW + gy * GW + gx
+    sw_flat = DOWNSTAIRS_SW[0] * GW + DOWNSTAIRS_SW[1]
+    ne_flat = UPSTAIRS_NE[0] * GW + UPSTAIRS_NE[1]
+    cellv = grid.reshape(-1)
+    spawn0 = int(np.asarray(env.valid_agent_states)[0])
+    n_obs = int(env.observation_space.n)
+    cells_zyx = np.stack(
+        np.unravel_index(np.arange(ncells), grid.shape), -1
+    ).astype(np.int32)
+    obs_tab = np.asarray(
+        jax.vmap(lambda zyx: env._obs_fn(zyx, jnp.asarray(env.fixed_goal_zyx)))(
+            jnp.asarray(cells_zyx)
+        ),
+        np.int64,
+    )
+    obs_tab = np.clip(obs_tab, 0, n_obs - 1)
+    obs_tab[cellv == WALL] = 0
+
+    agent = a0.astype(np.int64).copy()
+    q = q.astype(np.float64).copy()
+    elapsed = np.zeros_like(agent)
+    racc = np.zeros(agent.shape, np.float64)
+    for _ in range(K):
+        qidx = obs_tab[agent]
+        a_cmd = np.argmax(q[qidx], axis=1)
+        q_taken = q[qidx, a_cmd]
+        executed = np.where(a_cmd == 0, 1, 0)  # zero-draw failure coin
+        proposed = np.clip(agent + disp_flat[executed], 0, ncells - 1)
+        oob = cellv[proposed] == WALL
+        agent2 = np.where(oob, agent, proposed)
+        acell = cellv[agent2]
+        z = agent2 // HW
+        go_up = (acell == STAIR_UP) & ~oob
+        go_down = (acell == STAIR_DOWN) & ~oob
+        agent2 = np.where(go_up, (z + 1) * HW + sw_flat, agent2)
+        agent2 = np.where(go_down, (z - 1) * HW + ne_flat, agent2)
+        done = agent2 == goal_flat
+        rew = np.where(
+            done, env.goal_reward, np.where(oob, env.wall_reward,
+                                            env.step_reward)
+        )
+        elapsed += 1
+        trunc = elapsed > env.time_limit
+        next_v = q[obs_tab[agent2]].max(axis=1)
+        td = rew + gamma * next_v * (1.0 - done) - q_taken
+        dq = np.zeros_like(q)
+        cnt = np.zeros_like(q)
+        np.add.at(dq, (qidx, a_cmd), lr * td)
+        np.add.at(cnt, (qidx, a_cmd), 1.0)
+        q = q + dq / np.maximum(cnt, 1.0)
+        reset = done | trunc
+        agent = np.where(reset, spawn0, agent2)
+        elapsed = np.where(reset, 0, elapsed)
+        racc += rew
+    return agent, q, racc
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_msrooms_matches_mirror():
+    env = gpt.make("MultistoryFourRooms-v0", grid_z=3)
+    B, K = 1024, 20
+    lr, gamma = 0.2, 0.9
+    Z, H, GW = env.grid_np.shape
+    _, st = env.reset_vec(jax.random.PRNGKey(6), B)
+    zyx = np.asarray(st.agent_zyx, np.int64)
+    a0 = zyx[:, 0] * H * GW + zyx[:, 1] * GW + zyx[:, 2]
+    n_obs = int(env.observation_space.n)
+    A = env.num_actions
+    rng = np.random.default_rng(8)
+    q0 = np.zeros((512, A), np.float32)
+    q0[:n_obs] = rng.normal(scale=0.1, size=(n_obs, A)).astype(np.float32)
+
+    run = make_fused_q_trainer_msrooms(env, B, K, gamma,
+                                       average_duplicates=True,
+                                       interpret=True)
+    a_k, qb_k, racc_k = run(
+        jnp.asarray([3], jnp.int32), lr, 0.0,
+        jnp.asarray(a0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512, na=A)
+    a_m, q_m, racc_m = _numpy_mirror_msrooms(env, a0, q0, K, lr, gamma)
+    np.testing.assert_array_equal(np.asarray(a_k).reshape(-1), a_m)
+    np.testing.assert_allclose(np.asarray(racc_k).reshape(-1), racc_m,
+                               atol=1e-5)
+    np.testing.assert_allclose(q_k[:n_obs], q_m[:n_obs], rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.skipif(
     ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
 )
@@ -333,6 +441,40 @@ def test_fused_q_trainer_rooms_learns_on_hardware():
     r = np.asarray(traj.reward)
     goals_per_env = (r > 0.5).sum() / 1024
     assert goals_per_env > 2.0, goals_per_env
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="TPU interpreter PRNG returns zeros on CPU"
+)
+def test_fused_q_trainer_msrooms_learns_on_hardware():
+    """Hardware: learns multistory navigation — ground floor to the
+    top-floor goal VIA THE STAIRS (greedy 5.6 goals/env/500 measured;
+    random ~0.03)."""
+    from gym_po_tpu.agents import greedy_policy
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("MultistoryFourRooms-v0", grid_z=3)
+    B = 4096
+    Z, H, GW = env.grid_np.shape
+    A = env.num_actions
+    n_obs = int(env.observation_space.n)
+    run = make_fused_q_trainer_msrooms(env, B, 4096, average_duplicates=True)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    zyx = np.asarray(st.agent_zyx)
+    a = jnp.asarray(
+        (zyx[:, 0] * H * GW + zyx[:, 1] * GW + zyx[:, 2]).reshape(-1, 128),
+        jnp.int32,
+    )
+    qb = jnp.asarray(q_to_banks(np.zeros((512, A), np.float32)))
+    for i, (lr, eps) in enumerate([(0.2, 0.3)] * 2 + [(0.05, 0.05)] * 2):
+        a, qb, _ = run(jnp.asarray([i + 1], jnp.int32), lr, eps, a, qb)
+    q = banks_to_q(np.asarray(qb), 512, na=A)[:n_obs]
+
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, greedy_policy(jnp.asarray(q)), 1024, 500)
+    )(jax.random.PRNGKey(9))
+    r = np.asarray(traj.reward)
+    assert (r > 0.5).sum() / 1024 > 1.0, (r > 0.5).sum() / 1024
 
 
 @pytest.mark.skipif(
