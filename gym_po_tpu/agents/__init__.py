@@ -1,5 +1,10 @@
 from .networks import ActorCritic, make_actor_critic
-from .qlearning import QConfig, greedy_policy, q_learning
+from .qlearning import (
+    QConfig,
+    fused_q_learning,
+    greedy_policy,
+    q_learning,
+)
 from .ppo_rnn import (
     RecurrentActorCritic,
     RNNTrainState,
@@ -33,6 +38,7 @@ __all__ = [
     "make_rnn_train_step",
     "shard_rnn_state",
     "QConfig",
+    "fused_q_learning",
     "q_learning",
     "greedy_policy",
 ]

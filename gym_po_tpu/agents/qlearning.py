@@ -37,7 +37,7 @@ import numpy as np
 
 from ..core import Discrete, Environment
 
-__all__ = ["QConfig", "q_learning", "greedy_policy"]
+__all__ = ["QConfig", "q_learning", "greedy_policy", "fused_q_learning"]
 
 
 class QConfig(NamedTuple):
@@ -170,3 +170,77 @@ def greedy_policy(q: jax.Array):
         return jnp.argmax(q[obs], axis=-1).astype(jnp.int32)
 
     return policy
+
+
+def fused_q_learning(
+    env,
+    seed: int,
+    schedule,
+    num_envs: int = 8192,
+    gamma: float = 0.99,
+    chunk_steps: int = 4096,
+    q_init: np.ndarray | None = None,
+    average_duplicates: bool = True,
+    interpret: bool = False,
+):
+    """Tabular Q-learning entirely inside a Pallas TPU kernel.
+
+    High-level driver over the ``ops.fused_qlearning`` trainer family
+    (~3x the already-one-dispatch XLA path: 699M train steps/s taxi /
+    631M rooms at B=64k).  ``schedule`` is ``[(lr, epsilon, num_steps),
+    ...]``; phases reuse ONE compiled executable because lr/epsilon ride
+    SMEM scalars.  Returns ``(q [n_obs, n_act], history)`` with one
+    mean-reward-per-step entry per executed chunk.
+
+    Env support: :class:`~gym_po_tpu.envs.taxi.Taxi` (classic map; MDP or
+    Hansen-POMDP Q indexing), :class:`~gym_po_tpu.envs.rooms.Rooms` and
+    :class:`~gym_po_tpu.envs.msrooms.MultistoryFourRooms` (fixed goal, any
+    discrete obs model).
+    """
+    from ..envs.msrooms import MultistoryFourRooms
+    from ..envs.rooms import Rooms
+    from ..envs.taxi import Taxi
+    from ..ops import (
+        banks_to_q,
+        make_fused_q_trainer,
+        make_fused_q_trainer_msrooms,
+        make_fused_q_trainer_rooms,
+        q_to_banks,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    _, st = env.reset_vec(key, num_envs)
+    if isinstance(env, Taxi):
+        make, n_act = make_fused_q_trainer, 5
+        state0 = np.asarray(st.s)
+    elif isinstance(env, Rooms):
+        make, n_act = make_fused_q_trainer_rooms, int(env.num_actions)
+        GW = env.grid_np.shape[1]
+        a = np.asarray(st.agent_yx)
+        state0 = a[:, 0] * GW + a[:, 1]
+    elif isinstance(env, MultistoryFourRooms):
+        make, n_act = make_fused_q_trainer_msrooms, int(env.num_actions)
+        _, H, GW = env.grid_np.shape
+        a = np.asarray(st.agent_zyx)
+        state0 = a[:, 0] * H * GW + a[:, 1] * GW + a[:, 2]
+    else:
+        raise ValueError(f"no fused Q trainer for {type(env).__name__}")
+
+    n_obs = int(env.observation_space.n)
+    run = make(env, num_envs, chunk_steps, gamma,
+               average_duplicates=average_duplicates, interpret=interpret)
+    s = jnp.asarray(state0.reshape(-1, 128), jnp.int32)
+    q0 = np.zeros((512, n_act), np.float32)
+    if q_init is not None:
+        q0[: q_init.shape[0]] = np.asarray(q_init, np.float32)
+    qb = jnp.asarray(q_to_banks(q0))
+    history = []
+    i = 0
+    for lr, eps, steps in schedule:
+        for _ in range(-(-int(steps) // chunk_steps)):
+            i += 1
+            s, qb, rew = run(jnp.asarray([seed + i], jnp.int32),
+                             float(lr), float(eps), s, qb)
+            history.append(rew)  # fetch deferred: keep the pipeline full
+    history = [float(np.asarray(r).mean()) / chunk_steps for r in history]
+    return banks_to_q(np.asarray(qb), 512, na=n_act)[:n_obs], history

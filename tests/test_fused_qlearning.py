@@ -402,6 +402,40 @@ def test_fused_q_trainer_msrooms_matches_mirror():
 @pytest.mark.skipif(
     ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
 )
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("Taxi-v4", {}),
+        ("Rooms-v0", {}),
+        ("MultistoryFourRooms-v0", {"grid_z": 2}),
+    ],
+)
+def test_fused_q_learning_wrapper(name, kw):
+    """High-level driver dispatches to the right kernel per env family."""
+    from gym_po_tpu.agents import fused_q_learning
+
+    env = gpt.make(name, **kw)
+    q, hist = fused_q_learning(
+        env, seed=0, schedule=[(0.1, 0.0, 8)], num_envs=1024,
+        chunk_steps=8, interpret=True,
+    )
+    n_obs = int(env.observation_space.n)
+    n_act = int(env.action_space.n)
+    assert q.shape == (n_obs, n_act)
+    assert len(hist) == 1 and np.isfinite(hist[0])
+
+
+def test_fused_q_learning_wrapper_rejects_unknown_env():
+    from gym_po_tpu.agents import fused_q_learning
+
+    env = gpt.make("CarFlag-v0")
+    with pytest.raises(ValueError):
+        fused_q_learning(env, 0, [(0.1, 0.1, 8)], num_envs=1024)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
 def test_fused_q_trainer_rejects_bad_configs():
     env = gpt.make("Taxi-v4")
     with pytest.raises(ValueError):
