@@ -6,6 +6,7 @@ from .gather import (
     row_gather,
     table_gather,
 )
+from .fused_ac import make_fused_ac_trainer_rooms
 from .fused_crooms import make_fused_crooms_rollout
 from .fused_msrooms import make_fused_msrooms_rollout
 from .fused_rocksample import make_fused_rocksample_rollout
@@ -36,6 +37,7 @@ __all__ = [
     "make_fused_q_trainer",
     "make_fused_q_trainer_rooms",
     "make_fused_q_trainer_msrooms",
+    "make_fused_ac_trainer_rooms",
     "q_to_banks",
     "banks_to_q",
 ]
