@@ -81,6 +81,52 @@ def bench_fused_q(args):
     )
 
 
+def bench_fused_ac(args):
+    """In-kernel softmax actor-critic (ops/fused_ac.py), Rooms."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gym_po_tpu.ops import make_fused_ac_trainer_rooms
+    from gym_po_tpu.ops.fused_qlearning import q_to_banks
+
+    env = gpt.make("Rooms-v0")
+    B, K = args.num_envs, 256
+    GW = env.grid_np.shape[1]
+    A = int(env.num_actions)
+    run = make_fused_ac_trainer_rooms(env, B, K)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    a = jnp.asarray(
+        np.asarray(st.agent_yx[:, 0] * GW + st.agent_yx[:, 1]).reshape(-1, 128),
+        jnp.int32,
+    )
+    th = jnp.asarray(q_to_banks(np.zeros((512, A), np.float32)))
+    v = jnp.asarray(q_to_banks(np.zeros((512, 1), np.float32)))
+    th, v, a, rew = run(jnp.asarray([1], jnp.int32), 0.1, 0.2, th, v, a)
+    _ = float(jnp.sum(rew))  # scalar-fetch sync
+    rates = []
+    for w in range(args.windows):
+        t0 = time.perf_counter()
+        for i in range(args.updates):
+            th, v, a, rew = run(
+                jnp.asarray([2 + w * 100 + i], jnp.int32), 0.1, 0.2, th, v, a
+            )
+        _ = float(jnp.sum(rew))
+        rates.append(B * K * args.updates / (time.perf_counter() - t0))
+    rates.sort()
+    print(
+        json.dumps(
+            {
+                "metric": f"fused_ac_train_steps_per_s (Rooms-v0, B={B}, "
+                f"K={K}, 1 chip)",
+                "value": round(rates[len(rates) // 2]),
+                "unit": "steps/s",
+                "device": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
 def bench_rnn(args):
     """Recurrent (GRU) PPO: sequence replay inside the update."""
     from gym_po_tpu.agents import PPOConfig, init_rnn_state, make_rnn_train_step
@@ -134,10 +180,14 @@ def main():
                         "(classic Taxi) instead of PPO")
     p.add_argument("--rnn", action="store_true",
                    help="benchmark the recurrent (GRU) PPO learner")
+    p.add_argument("--fused-ac", action="store_true",
+                   help="benchmark the Pallas in-kernel actor-critic (Rooms)")
     args = p.parse_args()
 
     if args.fused_q:
         return bench_fused_q(args)
+    if args.fused_ac:
+        return bench_fused_ac(args)
     if args.rnn:
         return bench_rnn(args)
 
