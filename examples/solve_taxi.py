@@ -36,20 +36,16 @@ def main():
     if args.fused:
         import jax.numpy as jnp
 
-        from gym_po_tpu.ops import banks_to_q, make_fused_q_trainer, q_to_banks
+        from gym_po_tpu.agents import fused_q_learning
 
-        run = make_fused_q_trainer(env, args.envs, 128 * 50)
-        _, st = env.reset_vec(key, args.envs)
-        s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
-        qb = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
-        i = 0
-        for eps, lr, updates in phases:
-            for _ in range(updates // 50):
-                i += 1
-                s, qb, rew = run(jnp.asarray([i], jnp.int32), lr, eps, s, qb)
-            print(f"eps={eps}: train mean_r/step "
-                  f"{float(rew.mean()) / (128 * 50):+.4f}")
-        q = jnp.asarray(banks_to_q(np.asarray(qb), 512)[:env.tables.ns])
+        q, hist = fused_q_learning(
+            env, seed=0,
+            schedule=[(lr, eps, 128 * updates) for eps, lr, updates in phases],
+            num_envs=args.envs, chunk_steps=128 * 50,
+            average_duplicates=False,  # the schedule's lr is tuned for sums
+        )
+        print(f"fused: train mean_r/step {hist[-1]:+.4f}")
+        q = jnp.asarray(q)
     else:
         q = None
         for eps, lr, updates in phases:
