@@ -1,6 +1,7 @@
 from .networks import ActorCritic, make_actor_critic
 from .qlearning import (
     QConfig,
+    fused_actor_critic,
     fused_q_learning,
     greedy_policy,
     q_learning,
@@ -39,6 +40,7 @@ __all__ = [
     "shard_rnn_state",
     "QConfig",
     "fused_q_learning",
+    "fused_actor_critic",
     "q_learning",
     "greedy_policy",
 ]

@@ -37,7 +37,13 @@ import numpy as np
 
 from ..core import Discrete, Environment
 
-__all__ = ["QConfig", "q_learning", "greedy_policy", "fused_q_learning"]
+__all__ = [
+    "QConfig",
+    "q_learning",
+    "greedy_policy",
+    "fused_q_learning",
+    "fused_actor_critic",
+]
 
 
 class QConfig(NamedTuple):
@@ -244,3 +250,53 @@ def fused_q_learning(
             history.append(rew)  # fetch deferred: keep the pipeline full
     history = [float(np.asarray(r).mean()) / chunk_steps for r in history]
     return banks_to_q(np.asarray(qb), 512, na=n_act)[:n_obs], history
+
+
+def fused_actor_critic(
+    env,
+    seed: int,
+    schedule,
+    num_envs: int = 8192,
+    gamma: float = 0.99,
+    chunk_steps: int = 4096,
+    interpret: bool = False,
+):
+    """Softmax actor-critic entirely inside a Pallas TPU kernel (ROOMS).
+
+    ``schedule`` is ``[(alpha_pi, alpha_v, num_steps), ...]``; returns
+    ``(logits [n_obs, A], v [n_obs], history)``.  See
+    :func:`~gym_po_tpu.ops.fused_ac.make_fused_ac_trainer_rooms`.
+    """
+    from ..envs.rooms import Rooms
+    from ..ops import make_fused_ac_trainer_rooms
+    from ..ops.fused_qlearning import banks_to_q, q_to_banks
+
+    if not isinstance(env, Rooms):
+        raise ValueError(f"no fused AC trainer for {type(env).__name__}")
+    key = jax.random.PRNGKey(seed)
+    _, st = env.reset_vec(key, num_envs)
+    GW = env.grid_np.shape[1]
+    a0 = np.asarray(st.agent_yx)
+    agent = jnp.asarray(
+        (a0[:, 0] * GW + a0[:, 1]).reshape(-1, 128), jnp.int32
+    )
+    A = int(env.num_actions)
+    n_obs = int(env.observation_space.n)
+    run = make_fused_ac_trainer_rooms(env, num_envs, chunk_steps, gamma,
+                                      interpret=interpret)
+    th = jnp.asarray(q_to_banks(np.zeros((512, A), np.float32)))
+    v = jnp.asarray(q_to_banks(np.zeros((512, 1), np.float32)))
+    history = []
+    i = 0
+    for api, apv, steps in schedule:
+        for _ in range(-(-int(steps) // chunk_steps)):
+            i += 1
+            th, v, agent, rew = run(jnp.asarray([seed + i], jnp.int32),
+                                    float(api), float(apv), th, v, agent)
+            history.append(rew)
+    history = [float(np.asarray(r).mean()) / chunk_steps for r in history]
+    return (
+        banks_to_q(np.asarray(th), 512, na=A)[:n_obs],
+        banks_to_q(np.asarray(v), 512, na=1)[:n_obs, 0],
+        history,
+    )

@@ -159,3 +159,19 @@ def test_fused_ac_learns_on_hardware():
     # random policy reaches the goal ~0.0006/step; trained AC measured 0.072
     # (≈14-step paths under 1/3 action failure — near-optimal)
     assert rates[-1] > 0.03, rates
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_actor_critic_wrapper():
+    from gym_po_tpu.agents import fused_actor_critic
+
+    env = gpt.make("Rooms-v0")
+    th, v, hist = fused_actor_critic(
+        env, seed=0, schedule=[(0.1, 0.2, 8)], num_envs=1024,
+        chunk_steps=8, interpret=True,
+    )
+    n_obs = int(env.observation_space.n)
+    assert th.shape == (n_obs, int(env.num_actions))
+    assert v.shape == (n_obs,)
+    assert len(hist) == 1 and np.isfinite(hist[0])
