@@ -213,6 +213,7 @@ def fused_q_learning(
         make_fused_q_trainer_rooms,
         q_to_banks,
     )
+    from ..ops.fused_qlearning import bank_geometry
 
     key = jax.random.PRNGKey(seed)
     _, st = env.reset_vec(key, num_envs)
@@ -233,13 +234,15 @@ def fused_q_learning(
         raise ValueError(f"no fused Q trainer for {type(env).__name__}")
 
     n_obs = int(env.observation_space.n)
+    nsb, _ = bank_geometry(n_obs, n_act)
+    nsp = nsb * 128
     run = make(env, num_envs, chunk_steps, gamma,
                average_duplicates=average_duplicates, interpret=interpret)
     s = jnp.asarray(state0.reshape(-1, 128), jnp.int32)
-    q0 = np.zeros((512, n_act), np.float32)
+    q0 = np.zeros((nsp, n_act), np.float32)
     if q_init is not None:
         q0[: q_init.shape[0]] = np.asarray(q_init, np.float32)
-    qb = jnp.asarray(q_to_banks(q0))
+    qb = jnp.asarray(q_to_banks(q0, nsb))
     history = []
     i = 0
     for lr, eps, steps in schedule:
@@ -249,7 +252,7 @@ def fused_q_learning(
                              float(lr), float(eps), s, qb)
             history.append(rew)  # fetch deferred: keep the pipeline full
     history = [float(np.asarray(r).mean()) / chunk_steps for r in history]
-    return banks_to_q(np.asarray(qb), 512, na=n_act)[:n_obs], history
+    return banks_to_q(np.asarray(qb), nsp, na=n_act, nsb=nsb)[:n_obs], history
 
 
 def fused_actor_critic(

@@ -23,10 +23,12 @@ matmul rounding.
 
 Like the rest of the fused family the kernels draw from the hardware PRNG
 (stats-matched, not bit-exact, vs the threefry scan path).  Three trainers
-share the machinery: classic-map taxi (``ns <= 512``; fully-observable and
-Hansen-POMDP Q indexing), ROOMS with a fixed goal (Q indexed by ANY
-discrete observation model via a precomputed per-cell obs table), and
-MultistoryFourRooms (3-D cells + in-kernel stair transit).
+share the machinery: taxi on both maps (classic and extended 8x8 —
+per-action move banks, interior-wall reset bank, ns up to 1280 via
+``bank_geometry``; fully-observable and Hansen-POMDP Q indexing), ROOMS
+with a fixed goal (Q indexed by ANY discrete observation model via a
+precomputed per-cell obs table), and MultistoryFourRooms (3-D cells +
+in-kernel stair transit).
 """
 
 from __future__ import annotations
@@ -46,20 +48,31 @@ __all__ = [
 ]
 
 W = 128
-NB = 32  # Q bank rows: 5 actions x (512/128) state banks = 20 used, pad 32
-NSB = 4  # obs banks per action (512 / 128)
+NB = 32  # default Q bank rows: 5 actions x (512/128) obs banks = 20, pad 32
+NSB = 4  # default obs banks per action (512 / 128)
 
 
-def _q_lookup(q, idx, R, n_act):
+def bank_geometry(idx_n: int, n_act: int):
+    """(nsb, nb): obs banks per action and total bank rows (8-aligned,
+    min 32 for compatibility with the fixed-shape kernels) for an
+    ``idx_n``-entry index space."""
+    # floor at the default stride so every index space <= 512 keeps the
+    # canonical [32, 128] layout q_to_banks/banks_to_q default to
+    nsb = max(NSB, -(-idx_n // W))
+    nb = max(NB, -(-(n_act * nsb) // 8) * 8)
+    return nsb, nb
+
+
+def _q_lookup(q, idx, R, n_act, nsb=NSB):
     """Q[idx, a] for every action: exact lane shuffles per (a, hi) bank."""
     lo = idx & (W - 1)
     hi = idx >> 7
     vals = []
     for a in range(n_act):
         v = None
-        for b in range(NSB):
+        for b in range(nsb):
             bank = jnp.broadcast_to(
-                jax.lax.slice(q, (a * NSB + b, 0), (a * NSB + b + 1, W)),
+                jax.lax.slice(q, (a * nsb + b, 0), (a * nsb + b + 1, W)),
                 (R, W),
             )
             g = jnp.take_along_axis(bank, lo, axis=1)
@@ -79,7 +92,7 @@ def _first_argmax(vals, R):
     return best_a, best_v
 
 
-def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates):
+def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates, nb=NB):
     """Duplicate-accumulating scatter C[hi,lo] += w via per-row mask matmuls
     (TPUs have no scatter; the env axis is contracted on the MXU)."""
 
@@ -97,10 +110,10 @@ def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates):
                 == jnp.broadcast_to(lo_r, (W, W))
             ).astype(jnp.float32)
             M = (
-                jax.lax.broadcasted_iota(jnp.int32, (NB, W), 0)
-                == jnp.broadcast_to(hi_r, (NB, W))
+                jax.lax.broadcasted_iota(jnp.int32, (nb, W), 0)
+                == jnp.broadcast_to(hi_r, (nb, W))
             ).astype(jnp.float32)
-            X = M * jnp.broadcast_to(w_r, (NB, W))
+            X = M * jnp.broadcast_to(w_r, (nb, W))
             acc_s = acc_s + jax.lax.dot_general(
                 X, P, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -113,7 +126,7 @@ def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates):
                 )
         return (acc_s, acc_n)
 
-    zero_nb = jnp.zeros((NB, W), jnp.float32)
+    zero_nb = jnp.zeros((nb, W), jnp.float32)
     dq, cnt = jax.lax.fori_loop(0, R // 8, hist_chunk, (zero_nb, zero_nb))
     if average_duplicates:
         dq = dq / jnp.maximum(cnt, jnp.float32(1.0))
@@ -154,19 +167,18 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
     interpret_mode = pltpu.InterpretParams() if interpret else False
     t = env.tables
     nc = t.rows * t.cols
-    if nc * 4 > W:
-        raise ValueError("fused Q trainer supports classic maps only")
+    if nc > W:
+        raise ValueError(f"map has {nc} cells; fused Q trainer supports <= {W}")
     nlocs, rows, cols = t.nlocs, t.rows, t.cols
     pd = (nlocs + 1) * nlocs
     ns = nc * pd
-    if ns > 512:
-        raise ValueError(f"ns={ns} > 512: Q banks would exceed 32 rows")
-    nsb = 4  # state banks per action (512/128)
+    hansen = bool(getattr(env, "hansen", False))
+    idx_n = int(env.observation_space.n)  # ns, or the Hansen obs count
+    nsb, nb = bank_geometry(idx_n, 5)
     n_pass = env.num_passengers
     time_limit = env.time_limit
     r_goal, r_bad, r_any = env.reward_goal, env.reward_bad, env.reward_any
-    if not env._all_cells_valid:
-        raise ValueError("fused Q trainer requires all cells navigable")
+    all_valid = bool(env._all_cells_valid)
 
     if num_envs % W:
         raise ValueError("num_envs must be a multiple of 128")
@@ -174,31 +186,43 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
     if R % 8:
         raise ValueError("num_envs must be a multiple of 1024")
 
+    # cell_move: one combined [cell*4+a] row when it fits (classic), else
+    # one row per action (extended, as fused_taxi)
     cm_host = np.asarray(env._cell_move).reshape(nc, 4)
-    cm_bank = np.zeros((1, W), np.int32)
-    cm_bank[0, : nc * 4] = cm_host.reshape(-1)
+    combined_cm = nc * 4 <= W
+    if combined_cm:
+        cm_bank = np.zeros((1, W), np.int32)
+        cm_bank[0, : nc * 4] = cm_host.reshape(-1)
+    else:
+        cm_bank = np.zeros((4, W), np.int32)
+        cm_bank[:, :nc] = cm_host.T
     cm = jnp.asarray(cm_bank)
     la_bank = np.full((1, W), nlocs, np.int32)
     la_bank[0, :nc] = np.asarray(env._loc_at)
     la = jnp.asarray(la_bank)
-    hansen = bool(getattr(env, "hansen", False))
     hc_bank = np.zeros((1, W), np.int32)
     if hansen:
         hc_bank[0, :nc] = np.asarray(env._hansen_cell).reshape(-1)[:nc]
     hc = jnp.asarray(hc_bank)
+    # reset-cell bank for maps with interior walls (extended: 55 valid)
+    valid_cells = np.flatnonzero((t.tgrid != "|").reshape(-1))
+    n_valid = int(valid_cells.size)
+    vc_bank = np.zeros((1, W), np.int32)
+    vc_bank[0, :n_valid] = valid_cells
+    vc = jnp.asarray(vc_bank)
 
     gamma_f = float(gamma)
 
     def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref,
-               hc_ref, *outs):
+               hc_ref, vc_ref, *outs):
         s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
         pltpu.prng_seed(seed_ref[0])
         lr_v = lr_ref[0]
         # epsilon compares against raw 24-bit uniform draws
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
-        cm_b = jnp.broadcast_to(cm_ref[:], (R, W))
         la_b = jnp.broadcast_to(la_ref[:], (R, W))
         hc_b = jnp.broadcast_to(hc_ref[:], (R, W))
+        vc_b = jnp.broadcast_to(vc_ref[:], (R, W))
 
         def gather(idx, tab):
             return jnp.take_along_axis(tab, idx, axis=1)
@@ -212,7 +236,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             return u.astype(jnp.int32)
 
         def qvals(q, s):
-            return _q_lookup(q, s, R, 5)
+            return _q_lookup(q, s, R, 5, nsb)
 
         def argmax5(vals):
             return _first_argmax(vals, R)
@@ -244,7 +268,20 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             rem = s % pd
             p = rem // nlocs
             d = rem % nlocs
-            moved = gather(rc * 4 + jnp.minimum(a, 3), cm_b)
+            if combined_cm:
+                moved = gather(
+                    rc * 4 + jnp.minimum(a, 3),
+                    jnp.broadcast_to(cm_ref[0:1, :], (R, W)),
+                )
+            else:  # per-action rows + selects (extended map)
+                moved = gather(rc, jnp.broadcast_to(cm_ref[0:1, :], (R, W)))
+                for i in (1, 2, 3):
+                    moved = jnp.where(
+                        a == i,
+                        gather(rc, jnp.broadcast_to(cm_ref[i : i + 1, :],
+                                                    (R, W))),
+                        moved,
+                    )
             is_pd = a == 4
             loc = gather(rc, la_b)
             goal = is_pd & (p == nlocs) & (loc == d)
@@ -286,11 +323,14 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             lo_scr[:] = qidx & (W - 1)
             wtd_scr[:] = lr_v * td
             q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
-                                 average_duplicates)
+                                 average_duplicates, nb)
 
             # --- full episode resets (as fused_taxi) ---
             reset = done | trunc
-            rc_new = rbits(rows) * cols + rbits(cols)
+            if all_valid:
+                rc_new = rbits(rows) * cols + rbits(cols)
+            else:
+                rc_new = gather(rbits(n_valid), vc_b)
             pr = rbits(nlocs)
             dr0 = rbits(nlocs - 1)
             dr = dr0 + (dr0 >= pr)
@@ -319,11 +359,11 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
-                jax.ShapeDtypeStruct((NB, W), jnp.float32),
+                jax.ShapeDtypeStruct((nb, W), jnp.float32),
                 jax.ShapeDtypeStruct((R, W), jnp.float32),
             ),
             scratch_shapes=[
@@ -332,7 +372,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                 pltpu.VMEM((R, W), jnp.float32),
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
-          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc)
+          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc, vc)
 
     return run
 
@@ -743,22 +783,25 @@ def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
     return run
 
 
-def q_to_banks(q: np.ndarray) -> np.ndarray:
-    """[ns, 5] Q-table -> [32, 128] banked VMEM layout (e = a*512 + s)."""
+def q_to_banks(q: np.ndarray, nsb: int = NSB) -> np.ndarray:
+    """[ns, na] table -> [nb, 128] banked VMEM layout
+    (bank ``a*nsb + s>>7``, lane ``s&127``)."""
     ns, na = q.shape
-    out = np.zeros((NB, W), np.float32)
+    nb = max(NB, -(-(na * nsb) // 8) * 8)
+    out = np.zeros((nb, W), np.float32)
     for a in range(na):
         for s in range(ns):
-            e = a * 512 + s
+            e = a * nsb * W + s
             out[e >> 7, e & (W - 1)] = q[s, a]
     return out
 
 
-def banks_to_q(banks: np.ndarray, ns: int, na: int = 5) -> np.ndarray:
+def banks_to_q(banks: np.ndarray, ns: int, na: int = 5,
+               nsb: int = NSB) -> np.ndarray:
     """Inverse of :func:`q_to_banks`."""
     q = np.zeros((ns, na), np.float32)
     for a in range(na):
         for s in range(ns):
-            e = a * 512 + s
+            e = a * nsb * W + s
             q[s, a] = banks[e >> 7, e & (W - 1)]
     return q

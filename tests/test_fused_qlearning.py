@@ -34,6 +34,8 @@ def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
     la = np.asarray(env._loc_at)
     n_pass = env.num_passengers
     time_limit = env.time_limit
+    # zero-draw full reset: first valid cell (0 on all-valid classic maps)
+    rc_reset = int(np.flatnonzero((t.tgrid != "|").reshape(-1))[0])
     if getattr(env, "hansen", False):
         hc = np.asarray(env._hansen_cell)
 
@@ -91,9 +93,9 @@ def _numpy_mirror(env, s0, q, K, lr, gamma, average_duplicates=False):
         else:
             np.add.at(q, (qidx, a), lr * td)
 
-        # full reset with zero draws: rc=0, pr=0, dr=1 -> s = 1
+        # full reset with zero draws: rc=rc_reset, pr=0, dr=1
         reset = done | trunc
-        rc3 = np.where(reset, 0, rc2)
+        rc3 = np.where(reset, rc_reset, rc2)
         p4 = np.where(reset, 0, p3)
         d4 = np.where(reset, 1, d3)
         completed = np.where(reset, 0, completed)
@@ -167,6 +169,43 @@ def test_fused_q_trainer_average_duplicates_matches_mirror():
     # mean mode keeps Q bounded, so plain tolerances suffice
     np.testing.assert_allclose(q_k[: env.tables.ns], q_m[: env.tables.ns],
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+@pytest.mark.parametrize("name", ["ExtendedTaxi-v4", "ExtendedHansenTaxi-v4"])
+def test_fused_q_trainer_extended_map_matches_mirror(name):
+    """Extended 8x8 map: per-action move banks, interior-wall resets, and
+    (full-state) 10 obs banks per action (ns=1280 > 512)."""
+    from gym_po_tpu.ops.fused_qlearning import bank_geometry
+
+    env = gpt.make(name)
+    B, K = 1024, 20
+    lr, gamma = 0.1, 0.9
+    _, st = env.reset_vec(jax.random.PRNGKey(9), B)
+    s0 = np.asarray(st.s)
+    idx_n = int(env.observation_space.n)
+    nsb, nb = bank_geometry(idx_n, 5)
+    nsp = nsb * 128
+    rng = np.random.default_rng(3)
+    q0 = np.zeros((nsp, 5), np.float32)
+    q0[:idx_n] = rng.normal(scale=0.1, size=(idx_n, 5)).astype(np.float32)
+
+    run = make_fused_q_trainer(env, B, K, gamma, average_duplicates=True,
+                               interpret=True)
+    s_k, qb_k, racc_k = run(
+        jnp.asarray([5], jnp.int32), lr, 0.0,
+        jnp.asarray(s0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0, nsb)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), nsp, na=5, nsb=nsb)
+    s_m, q_m, racc_m = _numpy_mirror(env, s0, q0, K, lr, gamma,
+                                     average_duplicates=True)
+    np.testing.assert_array_equal(np.asarray(s_k).reshape(-1), s_m)
+    np.testing.assert_allclose(np.asarray(racc_k).reshape(-1), racc_m,
+                               atol=1e-5)
+    np.testing.assert_allclose(q_k[:idx_n], q_m[:idx_n], rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.skipif(
@@ -439,10 +478,7 @@ def test_fused_q_learning_wrapper_rejects_unknown_env():
 def test_fused_q_trainer_rejects_bad_configs():
     env = gpt.make("Taxi-v4")
     with pytest.raises(ValueError):
-        make_fused_q_trainer(env, 100, 8)
-    ext = gpt.make("ExtendedHansenTaxi-v4")
-    with pytest.raises(ValueError):
-        make_fused_q_trainer(ext, 1024, 8)
+        make_fused_q_trainer(env, 100, 8)  # not a multiple of 1024
 
 
 @pytest.mark.skipif(
@@ -475,6 +511,29 @@ def test_fused_q_trainer_rooms_learns_on_hardware():
     r = np.asarray(traj.reward)
     goals_per_env = (r > 0.5).sum() / 1024
     assert goals_per_env > 2.0, goals_per_env
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="TPU interpreter PRNG returns zeros on CPU"
+)
+def test_fused_q_trainer_extended_learns_on_hardware():
+    """Hardware: extended 8x8 map, full-state ns=1280 (10 obs banks per
+    action). Measured 11.85 dropoffs/env/256 with zero bad moves."""
+    from gym_po_tpu.agents import fused_q_learning, greedy_policy
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("ExtendedTaxi-v4")
+    q, _ = fused_q_learning(
+        env, seed=0,
+        schedule=[(0.1, 0.3, 16384), (0.05, 0.05, 16384), (0.02, 0.01, 8192)],
+        num_envs=8192,
+    )
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, greedy_policy(jnp.asarray(q)), 1024, 256)
+    )(jax.random.PRNGKey(9))
+    r = np.asarray(traj.reward)
+    assert (r > 0.5).sum() / 1024 > 6.0, (r > 0.5).sum() / 1024
+    assert (r < -0.4).mean() < 0.01
 
 
 @pytest.mark.skipif(
