@@ -198,17 +198,21 @@ def fused_q_learning(
     SMEM scalars.  Returns ``(q [n_obs, n_act], history)`` with one
     mean-reward-per-step entry per executed chunk.
 
-    Env support: :class:`~gym_po_tpu.envs.taxi.Taxi` (classic map; MDP or
-    Hansen-POMDP Q indexing), :class:`~gym_po_tpu.envs.rooms.Rooms` and
-    :class:`~gym_po_tpu.envs.msrooms.MultistoryFourRooms` (fixed goal, any
-    discrete obs model).
+    Env support: :class:`~gym_po_tpu.envs.taxi.Taxi` (classic AND extended
+    maps; MDP or Hansen-POMDP Q indexing),
+    :class:`~gym_po_tpu.envs.rooms.Rooms`,
+    :class:`~gym_po_tpu.envs.msrooms.MultistoryFourRooms`, and the
+    continuous-state :class:`~gym_po_tpu.envs.crooms.CRooms` with a
+    discrete action type (fixed goal, any discrete obs model).
     """
+    from ..envs.crooms import CRooms
     from ..envs.msrooms import MultistoryFourRooms
     from ..envs.rooms import Rooms
     from ..envs.taxi import Taxi
     from ..ops import (
         banks_to_q,
         make_fused_q_trainer,
+        make_fused_q_trainer_crooms,
         make_fused_q_trainer_msrooms,
         make_fused_q_trainer_rooms,
         q_to_banks,
@@ -217,6 +221,39 @@ def fused_q_learning(
 
     key = jax.random.PRNGKey(seed)
     _, st = env.reset_vec(key, num_envs)
+    if isinstance(env, CRooms):
+        # continuous-state variant: four float tiles instead of one int tile
+        n_act = int(env.num_actions)
+        n_obs = int(env.observation_space.n)
+        nsb, _ = bank_geometry(n_obs, n_act)
+        nsp = nsb * 128
+        run = make_fused_q_trainer_crooms(
+            env, num_envs, chunk_steps, gamma,
+            average_duplicates=average_duplicates, interpret=interpret,
+        )
+        z = jnp.zeros((num_envs // 128, 128), jnp.float32)
+        tiles = [
+            jnp.asarray(st.agent_yx[:, 0].reshape(-1, 128)),
+            jnp.asarray(st.agent_yx[:, 1].reshape(-1, 128)),
+            z, z,
+        ]
+        q0 = np.zeros((nsp, n_act), np.float32)
+        if q_init is not None:
+            q0[: q_init.shape[0]] = np.asarray(q_init, np.float32)
+        qb = jnp.asarray(q_to_banks(q0, nsb))
+        history = []
+        i = 0
+        for lr, eps, steps in schedule:
+            for _ in range(-(-int(steps) // chunk_steps)):
+                i += 1
+                *tiles, qb, rew = run(jnp.asarray([seed + i], jnp.int32),
+                                      float(lr), float(eps), *tiles, qb)
+                history.append(rew)
+        history = [
+            float(np.asarray(r).mean()) / chunk_steps for r in history
+        ]
+        return banks_to_q(np.asarray(qb), nsp, na=n_act, nsb=nsb)[:n_obs], \
+            history
     if isinstance(env, Taxi):
         make, n_act = make_fused_q_trainer, 5
         state0 = np.asarray(st.s)
