@@ -28,7 +28,7 @@ from flax import struct
 from ..parallel.mesh import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core import Box, Discrete, Environment
+from ..core import Discrete, Environment
 from . import networks
 from .networks import encode_obs
 from .ppo import PPOConfig, _gae, _optimizer

@@ -29,7 +29,7 @@ steps/s at B=65536.
 from __future__ import annotations
 
 import weakref
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

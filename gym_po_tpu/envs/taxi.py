@@ -21,7 +21,6 @@ from typing import Any, Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import struct
 
 from ..core import Discrete, Environment, EnvState
 from ..ops import assert_one_hot_exact, table_gather

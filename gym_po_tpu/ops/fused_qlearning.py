@@ -33,8 +33,6 @@ in-kernel stair transit).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,8 +18,6 @@ Requires ``num_rocks <= 30`` (int32 bitmask) and ``rows*cols <= 128``.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

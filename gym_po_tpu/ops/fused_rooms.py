@@ -22,8 +22,6 @@ Scope: random-policy rollouts; policy-in-the-loop uses the scan path.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -35,7 +35,7 @@ def registered_envs():
 
 
 def _register_defaults() -> None:
-    from .envs.taxi import Taxi, TAXI_MAP, EXTENDED_TAXI_MAP
+    from .envs.taxi import Taxi, EXTENDED_TAXI_MAP
 
     register("Taxi-v4", lambda **kw: Taxi(**kw))
     register("HansenTaxi-v4", lambda **kw: Taxi(hansen_obs=True, **kw))
