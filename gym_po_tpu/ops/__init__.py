@@ -9,6 +9,7 @@ from .gather import (
 from .fused_ac import make_fused_ac_trainer_rooms
 from .fused_crooms import make_fused_crooms_rollout
 from .fused_msrooms import make_fused_msrooms_rollout
+from .fused_double_q import make_fused_double_q_trainer
 from .fused_q_crooms import make_fused_q_trainer_crooms
 from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
@@ -40,6 +41,7 @@ __all__ = [
     "make_fused_q_trainer_msrooms",
     "make_fused_ac_trainer_rooms",
     "make_fused_q_trainer_crooms",
+    "make_fused_double_q_trainer",
     "q_to_banks",
     "banks_to_q",
 ]
