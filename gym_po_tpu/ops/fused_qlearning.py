@@ -134,8 +134,14 @@ def _mxu_scatter(hi_scr, lo_scr, wtd_scr, R, average_duplicates, nb=NB):
 def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                          gamma: float = 0.99,
                          average_duplicates: bool = False,
+                         expected_sarsa: bool = False,
                          interpret: bool = False):
     """Build ``run(seed, lr, epsilon, s, q) -> (s', q', reward_sums)``.
+
+    ``expected_sarsa=True`` swaps the off-policy max-bootstrap for the
+    ON-policy expectation under the epsilon-greedy behavior policy,
+    ``next_v = (1-eps)·max_a Q + (eps/A)·Σ_a Q`` — Expected SARSA (van
+    Seijen et al. 2009), lower-variance and safe under exploration.
 
     ``s``: int32 ``[num_envs//128, 128]`` encoded taxi states (from
     ``state.s.reshape(-1, 128)``); ``q``: f32 ``[32, 128]`` banked Q-table
@@ -308,7 +314,17 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             s_mid = (rc2 * (nlocs + 1) + p3) * nlocs + d3
 
             # --- TD target from the PRE-(full-)reset terminal state ---
-            _, next_v = argmax5(qvals(q, obs_of(s_mid)))
+            vals2 = qvals(q, obs_of(s_mid))
+            _, next_max = argmax5(vals2)
+            if expected_sarsa:
+                eps_f = eps_ref[0]
+                mean2 = vals2[0]
+                for i in range(1, 5):
+                    mean2 = mean2 + vals2[i]
+                mean2 = mean2 * jnp.float32(0.2)
+                next_v = (jnp.float32(1.0) - eps_f) * next_max + eps_f * mean2
+            else:
+                next_v = next_max
             target = rew + jnp.float32(gamma_f) * next_v * jnp.where(
                 done, jnp.float32(0.0), jnp.float32(1.0)
             )

@@ -601,3 +601,76 @@ def test_fused_q_trainer_learns_on_hardware():
     r = np.asarray(traj.reward)
     assert r.mean() > 0.02, r.mean()
     assert (r > 0.5).sum() / 1024 > 15, (r > 0.5).sum() / 1024
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_q_trainer_expected_sarsa_matches_mirror():
+    """On-policy expectation target: with eps=0 it reduces to the max
+    bootstrap only when the argmax is unique; the mirror computes the same
+    (1-eps)·max + (eps/A)·sum expectation explicitly (eps=0.25 here so the
+    expectation genuinely differs from the max)."""
+    env = gpt.make("Taxi-v4")
+    B, K = 1024, 16
+    lr, gamma, eps = 0.2, 0.9, 0.25
+    _, st = env.reset_vec(jax.random.PRNGKey(3), B)
+    s0 = np.asarray(st.s)
+    rng = np.random.default_rng(7)
+    q0 = np.zeros((512, 5), np.float32)
+    q0[:500] = rng.normal(scale=0.1, size=(500, 5)).astype(np.float32)
+
+    run = make_fused_q_trainer(env, B, K, gamma, average_duplicates=True,
+                               expected_sarsa=True, interpret=True)
+    # NOTE: zero-PRNG interpret means the exploration coin never fires even
+    # with eps>0 (draws are 0 and 0 < eps... is TRUE) — actually r24()=0 <
+    # eps24 makes every env explore with action 0.  The mirror replicates
+    # exactly that: action = 0 always, target expectation uses eps.
+    s_k, qb_k, _ = run(
+        jnp.asarray([5], jnp.int32), lr, eps,
+        jnp.asarray(s0.reshape(-1, 128), jnp.int32),
+        jnp.asarray(q_to_banks(q0)),
+    )
+    q_k = banks_to_q(np.asarray(qb_k), 512)
+
+    # NumPy mirror with action pinned to 0 (zero-draw explore) and the
+    # expected-sarsa target
+    t = env.tables
+    nlocs = t.nlocs
+    pd = (nlocs + 1) * nlocs
+    cm = np.asarray(env._cell_move).reshape(-1, 4)
+    la = np.asarray(env._loc_at)
+    s = s0.astype(np.int64).copy()
+    q = q0.astype(np.float64).copy()
+    completed = np.zeros_like(s)
+    elapsed = np.zeros_like(s)
+    for _ in range(K):
+        a = np.zeros_like(s)  # explore fires with alt action 0 every step
+        q_taken = q[s, a]
+        rc, rem = s // pd, s % pd
+        p, d = rem // nlocs, rem % nlocs
+        moved = cm[rc, np.minimum(a, 3)]
+        rc2 = moved  # a=0 is a move action
+        completed = completed
+        rew = np.full(s.shape, env.reward_any)
+        elapsed += 1
+        done = completed == env.num_passengers
+        trunc = elapsed > env.time_limit
+        s_mid = (rc2 * (nlocs + 1) + p) * nlocs + d
+        vals2 = q[s_mid]
+        next_v = (1 - 0.25) * vals2.max(1) + 0.25 * vals2.mean(1)
+        td = rew + gamma * next_v * (1.0 - done) - q_taken
+        dq = np.zeros_like(q)
+        cnt = np.zeros_like(q)
+        np.add.at(dq, (s, a), lr * td)
+        np.add.at(cnt, (s, a), 1.0)
+        q = q + dq / np.maximum(cnt, 1.0)
+        reset = done | trunc
+        rc3 = np.where(reset, 0, rc2)
+        p4 = np.where(reset, 0, p)
+        d4 = np.where(reset, 1, d)
+        completed = np.where(reset, 0, completed)
+        elapsed = np.where(reset, 0, elapsed)
+        s = (rc3 * (nlocs + 1) + p4) * nlocs + d4
+    np.testing.assert_array_equal(np.asarray(s_k).reshape(-1), s)
+    np.testing.assert_allclose(q_k[:500], q[:500], rtol=1e-4, atol=1e-5)
