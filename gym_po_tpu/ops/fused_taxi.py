@@ -61,7 +61,8 @@ def state_policy_table(env, policy) -> np.ndarray:
 
 def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
                             rows_per_tile: int = 128, interpret: bool = False,
-                            policy: Optional[np.ndarray] = None):
+                            policy: Optional[np.ndarray] = None,
+                            episode_stats: bool = False):
     # CPU testing path: the TPU-specific primitives (prng_seed, dynamic
     # gather) need the TPU interpreter, not the generic one
     interpret_mode = pltpu.InterpretParams() if interpret else False
@@ -74,6 +75,12 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
     when ``policy`` (an ``[ns]`` int32 per-state action table, see
     :func:`state_policy_table`) is given — the table's greedy actions, with
     the PRNG then only consumed by episode/task resets.
+
+    ``episode_stats=True`` appends three per-env f32 outputs — summed
+    COMPLETED-episode returns, summed completed-episode lengths, and the
+    completed-episode count — the in-kernel analogue of the scan path's
+    ``RecordEpisodeStatistics`` (mean episode return =
+    ``ep_ret.sum() / ep_cnt.sum()``).
     """
     t = env.tables
     nc = t.rows * t.cols
@@ -131,11 +138,13 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
 
     def kernel(seed_ref, s_ref, *refs):
         cm_refs = refs[: len(cm_tables)]
-        rest = refs[len(cm_tables) :]
+        rest = list(refs[len(cm_tables) :])
+        la_r, vc_r = rest[:2]
+        rest = rest[2:]
         if policy is not None:
-            la_r, vc_r, pol_r, out_ref, rew_ref = rest
-        else:
-            la_r, vc_r, out_ref, rew_ref = rest
+            pol_r = rest.pop(0)
+        out_ref, rew_ref = rest[:2]
+        stat_refs = rest[2:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
         cm_b = [jnp.broadcast_to(r[:], (R, W)) for r in cm_refs]
@@ -150,7 +159,7 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
             return (u % n).astype(jnp.int32)
 
         def body(step, carry):
-            s, completed, elapsed, racc = carry
+            s, completed, elapsed, racc, stats = carry
             if policy is None:
                 a = rbits(5)
             else:  # greedy action: lane shuffle per policy row bank
@@ -210,26 +219,46 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
             p4 = jnp.where(reset, pr, p3)
             d4 = jnp.where(reset, dr, d3)
             completed = jnp.where(reset, 0, completed)
-            elapsed = jnp.where(reset, 0, elapsed)
             s2 = (rc3 * (nlocs + 1) + p4) * nlocs + d4
-            return (s2, completed, elapsed, racc + rew)
+            if episode_stats:
+                (cur_ret, ep_ret, ep_len, ep_cnt) = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats2 = (cur_ret, ep_ret, ep_len, ep_cnt)
+            else:
+                stats2 = stats
+            elapsed = jnp.where(reset, 0, elapsed)
+            return (s2, completed, elapsed, racc + rew, stats2)
 
         zeros = jnp.zeros((R, W), jnp.int32)
-        s, _, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        s, _, _, racc, stats = jax.lax.fori_loop(
             0,
             num_steps,
             body,
-            (s_ref[:], zeros, zeros, jnp.zeros((R, W), jnp.float32)),
+            (s_ref[:], zeros, zeros, zf, (zf, zf, zf, zf)),
         )
         out_ref[:] = s
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     state_spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows_total = num_envs // W
 
+    n_out = 2 + (3 if episode_stats else 0)
+    f32_out = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+
     @jax.jit
-    def run(seed: jax.Array, s: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def run(seed: jax.Array, s: jax.Array) -> Tuple[jax.Array, ...]:
         return pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -237,11 +266,10 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [state_spec]
             + [tab_spec] * (len(cm_tables) + 2 + len(pol_tables)),
-            out_specs=(state_spec, state_spec),
+            out_specs=(state_spec,) * n_out,
             out_shape=(
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
-                jax.ShapeDtypeStruct((rows_total, W), jnp.float32),
-            ),
+            ) + (f32_out,) * (n_out - 1),
         )(seed, s, *cm_tables, la, vc, *pol_tables)
 
     return run

@@ -195,3 +195,30 @@ def test_fused_multi_passenger_and_occupancy():
     occ_scan = np.bincount(r2 * t.cols + c2, minlength=25) / sn2.size
     # same long-run cell-occupancy distribution (different PRNG streams)
     np.testing.assert_allclose(occ_fused, occ_scan, atol=0.01)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
+def test_fused_episode_stats():
+    """Zero-PRNG interpret: action 0 forever -> every env truncates exactly
+    once at step time_limit+1 with a fully predictable episode record."""
+    env = gpt.make("Taxi-v4")
+    B = 256
+    K = env.time_limit + 10  # one truncation + a partial episode
+    run = make_fused_taxi_rollout(env, B, K, interpret=True,
+                                  episode_stats=True)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    s2, rew, ep_ret, ep_len, ep_cnt = run(
+        jnp.asarray([3], jnp.int32), st.s.reshape(-1, 128)
+    )
+    ep_ret = np.asarray(ep_ret).reshape(-1)
+    ep_len = np.asarray(ep_len).reshape(-1)
+    ep_cnt = np.asarray(ep_cnt).reshape(-1)
+    L = env.time_limit + 1  # strict > truncation (reference :279)
+    np.testing.assert_array_equal(ep_cnt, 1.0)
+    np.testing.assert_array_equal(ep_len, float(L))
+    np.testing.assert_allclose(ep_ret, env.reward_any * L, rtol=1e-5)
+    # completed-episode sums never exceed the total accumulated reward
+    assert (np.asarray(rew).reshape(-1) <= ep_ret + 1e-5).all()
