@@ -43,11 +43,14 @@ def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
 
 def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
                              rows_per_tile: int = 128,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             episode_stats: bool = False):
     """Build ``run(seed, agent, goal) -> (agent', goal', reward_sums)``.
 
     ``agent``/``goal`` are flat cell indices laid out ``[num_envs//128, 128]``
     int32 (``state.agent_yx[:, 0] * grid_W + state.agent_yx[:, 1]``).
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     grid_np = env.grid_np
@@ -92,7 +95,7 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
     disp_b = jnp.asarray(disp_bank_np)
 
     def kernel(seed_ref, a_ref, g_ref, wall_r_, valid_r_, disp_r_,
-               out_a, out_g, rew_ref):
+               out_a, out_g, rew_ref, *stat_refs):
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
@@ -130,7 +133,7 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
             return bank_gather(rbits(n_valid), valid_r_, n_valid_rows)
 
         def body(step, carry):
-            agent, goal, elapsed, racc = carry
+            agent, goal, elapsed, racc, stats = carry
             a_cmd = rbits(A)
             # action failure from its generative process (== failure matrix)
             fail = runiform() < jnp.float32(p_fail)
@@ -153,23 +156,41 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
             elapsed = elapsed + 1
             trunc = elapsed > time_limit
             reset = done | trunc
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             goal2 = jnp.where(reset, sample_cell(), goal)
             agent3 = jnp.where(reset, sample_agent_cell(), agent2)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (agent3, goal2, elapsed, racc + rew)
+            return (agent3, goal2, elapsed, racc + rew, stats)
 
         zeros = jnp.zeros((R, W), jnp.int32)
-        agent, goal, elapsed, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        agent, goal, elapsed, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
-            (a_ref[:], g_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
+            (a_ref[:], g_ref[:], zeros, zf, (zf, zf, zf, zf)),
         )
         out_a[:] = agent
         out_g[:] = goal
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     state_spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows_total = num_envs // W
+
+    n_extra = 3 if episode_stats else 0
+    f32_out = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
 
     @jax.jit
     def run(seed: jax.Array, agent: jax.Array, goal: jax.Array):
@@ -180,12 +201,12 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [state_spec] * 2
             + [tab_spec] * 3,
-            out_specs=(state_spec, state_spec, state_spec),
+            out_specs=(state_spec,) * (3 + n_extra),
             out_shape=(
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
-                jax.ShapeDtypeStruct((rows_total, W), jnp.float32),
-            ),
+                f32_out,
+            ) + (f32_out,) * n_extra,
         )(seed, agent, goal, wall_b, valid_b, disp_b)
 
     return run

@@ -69,3 +69,28 @@ def test_fused_rooms_stats_match_scan():
     traj, _ = jax.jit(lambda k: rollout(env, k, None, B, K))(jax.random.PRNGKey(0))
     scan_mean = float(np.asarray(traj.reward).mean())
     assert abs(fused_mean - scan_mean) < 0.002, (fused_mean, scan_mean)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel",
+)
+def test_fused_rooms_episode_stats():
+    """Zero-PRNG interpret: the failure coin always fires with alternate
+    action 0... dynamics are deterministic; stats fields must be finite,
+    consistent (len <= (time_limit+1)*cnt) and monotone with racc."""
+    env = gpt.make("Rooms-v0")
+    B = 256
+    K = env.time_limit + 10
+    GW = env.grid_np.shape[1]
+    run = make_fused_rooms_rollout(env, B, K, interpret=True,
+                                   episode_stats=True)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    a = (st.agent_yx[:, 0] * GW + st.agent_yx[:, 1]).reshape(-1, 128).astype(jnp.int32)
+    g = (st.goal_yx[:, 0] * GW + st.goal_yx[:, 1]).reshape(-1, 128).astype(jnp.int32)
+    out = run(jnp.asarray([3], jnp.int32), a, g)
+    assert len(out) == 6
+    ep_ret, ep_len, ep_cnt = (np.asarray(o).reshape(-1) for o in out[3:])
+    assert (ep_cnt >= 1).all()  # every env truncates at least once in K
+    assert (ep_len <= (env.time_limit + 1) * ep_cnt).all()
+    assert np.isfinite(ep_ret).all()
