@@ -187,6 +187,7 @@ def fused_q_learning(
     chunk_steps: int = 4096,
     q_init: np.ndarray | None = None,
     average_duplicates: bool = True,
+    expected_sarsa: bool = False,
     interpret: bool = False,
 ):
     """Tabular Q-learning entirely inside a Pallas TPU kernel.
@@ -219,6 +220,8 @@ def fused_q_learning(
     )
     from ..ops.fused_qlearning import bank_geometry
 
+    if expected_sarsa and not isinstance(env, Taxi):
+        raise ValueError("expected_sarsa is currently taxi-only")
     key = jax.random.PRNGKey(seed)
     _, st = env.reset_vec(key, num_envs)
     if isinstance(env, CRooms):
@@ -255,7 +258,12 @@ def fused_q_learning(
         return banks_to_q(np.asarray(qb), nsp, na=n_act, nsb=nsb)[:n_obs], \
             history
     if isinstance(env, Taxi):
-        make, n_act = make_fused_q_trainer, 5
+        def make(env, B, K, g, average_duplicates, interpret):
+            return make_fused_q_trainer(
+                env, B, K, g, average_duplicates=average_duplicates,
+                expected_sarsa=expected_sarsa, interpret=interpret,
+            )
+        n_act = 5
         state0 = np.asarray(st.s)
     elif isinstance(env, Rooms):
         make, n_act = make_fused_q_trainer_rooms, int(env.num_actions)
