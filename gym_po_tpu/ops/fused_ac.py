@@ -180,10 +180,14 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
                         == jnp.broadcast_to(hi_r, (NB, W))
                     ).astype(jnp.float32)
                     X = M * jnp.broadcast_to(w_r, (NB, W))
+                    # bf16x2 split (see fused_qlearning._mxu_scatter)
+                    x_hi = X.astype(jnp.bfloat16).astype(jnp.float32)
+                    x_lo = X - x_hi
+                    dn = (((1,), (1,)), ((), ()))
                     acc_s = acc_s + jax.lax.dot_general(
-                        X, P, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        x_hi, P, dn, preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        x_lo, P, dn, preferred_element_type=jnp.float32,
                     )
                     acc_n = acc_n + jax.lax.dot_general(
                         M, P, (((1,), (1,)), ((), ())),
