@@ -88,8 +88,10 @@ def test_perf_mode_rollout_invariants():
         assert ((o >= 0) & (o < n_obs)).all()
         assert np.asarray(state.elapsed).max() <= env.time_limit + 1
     # dones happen eventually in 300 steps of random play on taxi? not guaranteed;
-    # but truncation at 200 must have fired:
-    assert np.asarray(state.elapsed).min() >= 0
+    # but truncation at time_limit=200 < T=300 must have fired and reset the
+    # counter — without a reset, elapsed would equal T for every env.
+    assert np.asarray(state.elapsed).max() < T
+    assert np.asarray(state.elapsed).max() <= env.time_limit + 1
 
 
 def test_jit_nonjit_consistency():
