@@ -4,6 +4,7 @@ from .qlearning import (
     fused_actor_critic,
     fused_q_learning,
     greedy_policy,
+    make_xla_q_chunk_trainer,
     q_learning,
 )
 from .ppo_rnn import (
@@ -41,6 +42,7 @@ __all__ = [
     "QConfig",
     "fused_q_learning",
     "fused_actor_critic",
+    "make_xla_q_chunk_trainer",
     "q_learning",
     "greedy_policy",
 ]

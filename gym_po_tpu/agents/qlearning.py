@@ -43,6 +43,7 @@ __all__ = [
     "greedy_policy",
     "fused_q_learning",
     "fused_actor_critic",
+    "make_xla_q_chunk_trainer",
 ]
 
 
@@ -178,6 +179,107 @@ def greedy_policy(q: jax.Array):
     return policy
 
 
+def make_xla_q_chunk_trainer(
+    env,
+    num_envs: int,
+    num_steps: int,
+    gamma: float = 0.99,
+    average_duplicates: bool = True,
+    expected_sarsa: bool = False,
+):
+    """XLA (non-Pallas) chunk trainer, signature-compatible with
+    :func:`gym_po_tpu.ops.fused_qlearning.make_fused_q_trainer`.
+
+    ``run(seed [1] i32, lr, epsilon, s [B//128, 128] i32, q_banks
+    [nb, 128] f32) -> (s', q_banks', reward_sums [B//128, 128])`` — the
+    exact contract of the Pallas taxi trainer, built from ``env.step_vec``
+    + ``lax.scan`` instead of a kernel.  Two jobs:
+
+    1. **CPU validation of the multi-chip sync harness**
+       (:func:`gym_po_tpu.parallel.shard_fused_trainer`): Pallas kernels
+       cannot execute on the virtual CPU mesh, so the orchestration —
+       sharded state tiles, disjoint seeds, per-chunk table ``pmean`` — is
+       exercised with this trainer substituted for the kernel.
+    2. A fallback chunk trainer on backends without Mosaic.
+
+    Numerics are NOT bit-identical to the kernel (jax.random vs the TPU
+    hardware PRNG) — both are correct eps-greedy Q-learning; tests compare
+    learning outcomes, not trajectories.  Like the kernel, ``elapsed`` /
+    ``completed`` counters restart at each chunk boundary.
+    """
+    from ..envs.taxi import Taxi, TaxiState
+    from ..ops.fused_qlearning import bank_geometry
+
+    if not isinstance(env, Taxi):
+        raise ValueError("make_xla_q_chunk_trainer currently supports Taxi")
+    n_act = 5
+    n_obs = int(env.observation_space.n)
+    nsb, nb = bank_geometry(n_obs, n_act)
+    nsp = nsb * 128
+    if num_envs % 128:
+        raise ValueError("num_envs must be a multiple of 128")
+    R = num_envs // 128
+    gamma_f = float(gamma)
+
+    @jax.jit
+    def run(seed, lr, epsilon, s, q_banks):
+        lr = jnp.float32(lr)
+        epsilon = jnp.float32(epsilon)
+        # unbank: entry e = a*nsp + s lives at (e>>7, e&127) -> flat view
+        q = q_banks.reshape(-1)[: n_act * nsp].reshape(n_act, nsp).T
+        zeros = jnp.zeros((num_envs,), jnp.int32)
+        state = TaxiState(
+            elapsed=zeros, s=s.reshape(-1).astype(jnp.int32), completed=zeros
+        )
+        key = jax.random.PRNGKey(seed[0])
+
+        def one_step(carry, _):
+            q, state, key = carry
+            key, ke, ka, ks = jax.random.split(key, 4)
+            obs = env.observe(state)
+            rows = q[obs]
+            greedy = jnp.argmax(rows, axis=-1).astype(jnp.int32)
+            explore = jax.random.uniform(ke, (num_envs,)) < epsilon
+            action = jnp.where(
+                explore, jax.random.randint(ka, (num_envs,), 0, n_act), greedy
+            )
+            _, nstate, rew, done, trunc, info = env.step_vec(ks, state, action)
+            term_obs = env.observe(info["terminal_state"])
+            next_rows = q[term_obs]
+            next_max = jnp.max(next_rows, axis=-1)
+            if expected_sarsa:
+                next_v = (1.0 - epsilon) * next_max + epsilon * next_rows.mean(-1)
+            else:
+                next_v = next_max
+            target = rew + gamma_f * next_v * (1.0 - done.astype(jnp.float32))
+            td = target - jnp.take_along_axis(
+                rows, action[:, None], axis=1
+            )[:, 0]
+            idx = obs * n_act + action
+            upd = jax.ops.segment_sum(lr * td, idx, num_segments=nsp * n_act)
+            if average_duplicates:
+                cnt = jax.ops.segment_sum(
+                    jnp.ones((num_envs,), jnp.float32), idx,
+                    num_segments=nsp * n_act,
+                )
+                upd = upd / jnp.maximum(cnt, 1.0)
+            q = q + upd.reshape(nsp, n_act)
+            return (q, nstate, key), rew
+
+        (q, state, _), rews = jax.lax.scan(
+            one_step, (q, state, key), None, length=num_steps
+        )
+        qb = (
+            jnp.zeros((nb * 128,), jnp.float32)
+            .at[: n_act * nsp]
+            .set(q.T.reshape(-1))
+            .reshape(nb, 128)
+        )
+        return state.s.reshape(R, 128), qb, rews.sum(0).reshape(R, 128)
+
+    return run
+
+
 def fused_q_learning(
     env,
     seed: int,
@@ -189,6 +291,8 @@ def fused_q_learning(
     average_duplicates: bool = True,
     expected_sarsa: bool = False,
     interpret: bool = False,
+    mesh=None,
+    chunk_trainer: str = "pallas",
 ):
     """Tabular Q-learning entirely inside a Pallas TPU kernel.
 
@@ -205,6 +309,21 @@ def fused_q_learning(
     :class:`~gym_po_tpu.envs.msrooms.MultistoryFourRooms`, and the
     continuous-state :class:`~gym_po_tpu.envs.crooms.CRooms` with a
     discrete action type (fixed goal, any discrete obs model).
+
+    **Multi-chip**: pass ``mesh`` (a 1-D ``('data',)``
+    :class:`jax.sharding.Mesh`) to run the chunk-synchronous data-parallel
+    scheme from ``docs/MULTIHOST.md``: the env batch is sharded over the
+    mesh, each chip trains on its shard with a private table copy under a
+    disjoint PRNG seed, and the ``[nb, 128]`` Q banks are ``pmean``-averaged
+    across chips between chunks (16 KB — a microsecond ICI collective).
+    ``num_envs`` is the GLOBAL batch (must split into per-chip multiples of
+    1024).  ``average_duplicates=True`` (the default) keeps the effective
+    step size invariant to the global batch.
+
+    ``chunk_trainer="xla"`` (Taxi only) substitutes the signature-compatible
+    :func:`make_xla_q_chunk_trainer` for the Pallas kernel — the validation
+    path for backends where Mosaic is unavailable (the virtual CPU mesh the
+    test suite runs on).
     """
     from ..envs.crooms import CRooms
     from ..envs.msrooms import MultistoryFourRooms
@@ -219,9 +338,25 @@ def fused_q_learning(
         q_to_banks,
     )
     from ..ops.fused_qlearning import bank_geometry
+    from ..parallel import (
+        chunk_seeds,
+        replicate,
+        shard_batch,
+        shard_fused_trainer,
+    )
 
     if expected_sarsa and not isinstance(env, Taxi):
         raise ValueError("expected_sarsa is currently taxi-only")
+    if chunk_trainer not in ("pallas", "xla"):
+        raise ValueError(f"unknown chunk_trainer {chunk_trainer!r}")
+    if chunk_trainer == "xla" and not isinstance(env, Taxi):
+        raise ValueError("chunk_trainer='xla' currently supports Taxi only")
+    ndev = 1 if mesh is None else int(mesh.shape["data"])
+    if num_envs % ndev:
+        raise ValueError(
+            f"global num_envs={num_envs} not divisible by mesh size {ndev}"
+        )
+    shard_envs = num_envs // ndev
     key = jax.random.PRNGKey(seed)
     _, st = env.reset_vec(key, num_envs)
     if isinstance(env, CRooms):
@@ -231,7 +366,7 @@ def fused_q_learning(
         nsb, _ = bank_geometry(n_obs, n_act)
         nsp = nsb * 128
         run = make_fused_q_trainer_crooms(
-            env, num_envs, chunk_steps, gamma,
+            env, shard_envs, chunk_steps, gamma,
             average_duplicates=average_duplicates, interpret=interpret,
         )
         z = jnp.zeros((num_envs // 128, 128), jnp.float32)
@@ -244,13 +379,23 @@ def fused_q_learning(
         if q_init is not None:
             q0[: q_init.shape[0]] = np.asarray(q_init, np.float32)
         qb = jnp.asarray(q_to_banks(q0, nsb))
+        if mesh is not None:
+            # args after seed: (lr, eps, y, x, vy, vx, q); outs: (y, x, vy,
+            # vx, q, rew) — 4 sharded state tiles, table banks averaged
+            run = shard_fused_trainer(
+                run, mesh, sharded_args=(2, 3, 4, 5), averaged_outs=(4,),
+                num_outs=6,
+            )
+            tiles = [shard_batch(mesh, t) for t in tiles]
+            qb = replicate(mesh, qb)
         history = []
         i = 0
         for lr, eps, steps in schedule:
             for _ in range(-(-int(steps) // chunk_steps)):
                 i += 1
-                *tiles, qb, rew = run(jnp.asarray([seed + i], jnp.int32),
-                                      float(lr), float(eps), *tiles, qb)
+                *tiles, qb, rew = run(
+                    jnp.asarray(chunk_seeds(seed, i, ndev)),
+                    float(lr), float(eps), *tiles, qb)
                 history.append(rew)
         history = [
             float(np.asarray(r).mean()) / chunk_steps for r in history
@@ -281,19 +426,33 @@ def fused_q_learning(
     n_obs = int(env.observation_space.n)
     nsb, _ = bank_geometry(n_obs, n_act)
     nsp = nsb * 128
-    run = make(env, num_envs, chunk_steps, gamma,
-               average_duplicates=average_duplicates, interpret=interpret)
+    if chunk_trainer == "xla":
+        run = make_xla_q_chunk_trainer(
+            env, shard_envs, chunk_steps, gamma,
+            average_duplicates=average_duplicates,
+            expected_sarsa=expected_sarsa,
+        )
+    else:
+        run = make(env, shard_envs, chunk_steps, gamma,
+                   average_duplicates=average_duplicates, interpret=interpret)
     s = jnp.asarray(state0.reshape(-1, 128), jnp.int32)
     q0 = np.zeros((nsp, n_act), np.float32)
     if q_init is not None:
         q0[: q_init.shape[0]] = np.asarray(q_init, np.float32)
     qb = jnp.asarray(q_to_banks(q0, nsb))
+    if mesh is not None:
+        # args after seed: (lr, eps, s, q); outs: (s, q, rew)
+        run = shard_fused_trainer(
+            run, mesh, sharded_args=(2,), averaged_outs=(1,), num_outs=3
+        )
+        s = shard_batch(mesh, s)
+        qb = replicate(mesh, qb)
     history = []
     i = 0
     for lr, eps, steps in schedule:
         for _ in range(-(-int(steps) // chunk_steps)):
             i += 1
-            s, qb, rew = run(jnp.asarray([seed + i], jnp.int32),
+            s, qb, rew = run(jnp.asarray(chunk_seeds(seed, i, ndev)),
                              float(lr), float(eps), s, qb)
             history.append(rew)  # fetch deferred: keep the pipeline full
     history = [float(np.asarray(r).mean()) / chunk_steps for r in history]
@@ -308,19 +467,35 @@ def fused_actor_critic(
     gamma: float = 0.99,
     chunk_steps: int = 4096,
     interpret: bool = False,
+    mesh=None,
 ):
     """Softmax actor-critic entirely inside a Pallas TPU kernel (ROOMS).
 
     ``schedule`` is ``[(alpha_pi, alpha_v, num_steps), ...]``; returns
     ``(logits [n_obs, A], v [n_obs], history)``.  See
     :func:`~gym_po_tpu.ops.fused_ac.make_fused_ac_trainer_rooms`.
+
+    ``mesh``: optional 1-D ``('data',)`` mesh for the chunk-synchronous
+    data-parallel scheme (docs/MULTIHOST.md) — policy-logit AND value banks
+    are both ``pmean``-averaged across chips between chunks.
     """
     from ..envs.rooms import Rooms
     from ..ops import make_fused_ac_trainer_rooms
     from ..ops.fused_qlearning import banks_to_q, q_to_banks
+    from ..parallel import (
+        chunk_seeds,
+        replicate,
+        shard_batch,
+        shard_fused_trainer,
+    )
 
     if not isinstance(env, Rooms):
         raise ValueError(f"no fused AC trainer for {type(env).__name__}")
+    ndev = 1 if mesh is None else int(mesh.shape["data"])
+    if num_envs % ndev:
+        raise ValueError(
+            f"global num_envs={num_envs} not divisible by mesh size {ndev}"
+        )
     key = jax.random.PRNGKey(seed)
     _, st = env.reset_vec(key, num_envs)
     GW = env.grid_np.shape[1]
@@ -330,16 +505,23 @@ def fused_actor_critic(
     )
     A = int(env.num_actions)
     n_obs = int(env.observation_space.n)
-    run = make_fused_ac_trainer_rooms(env, num_envs, chunk_steps, gamma,
-                                      interpret=interpret)
+    run = make_fused_ac_trainer_rooms(env, num_envs // ndev, chunk_steps,
+                                      gamma, interpret=interpret)
     th = jnp.asarray(q_to_banks(np.zeros((512, A), np.float32)))
     v = jnp.asarray(q_to_banks(np.zeros((512, 1), np.float32)))
+    if mesh is not None:
+        # args after seed: (api, apv, th, v, agent); outs: (th, v, agent, rew)
+        run = shard_fused_trainer(
+            run, mesh, sharded_args=(4,), averaged_outs=(0, 1), num_outs=4
+        )
+        agent = shard_batch(mesh, agent)
+        th, v = replicate(mesh, th), replicate(mesh, v)
     history = []
     i = 0
     for api, apv, steps in schedule:
         for _ in range(-(-int(steps) // chunk_steps)):
             i += 1
-            th, v, agent, rew = run(jnp.asarray([seed + i], jnp.int32),
+            th, v, agent, rew = run(jnp.asarray(chunk_seeds(seed, i, ndev)),
                                     float(api), float(apv), th, v, agent)
             history.append(rew)
     history = [float(np.asarray(r).mean()) / chunk_steps for r in history]

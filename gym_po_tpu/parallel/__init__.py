@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     sharded_rollout,
 )
+from .data_parallel import chunk_seeds, replicate, shard_fused_trainer
 
 __all__ = [
     "DATA_AXIS",
@@ -12,4 +13,7 @@ __all__ = [
     "distributed_init",
     "sharded_rollout",
     "shard_batch",
+    "shard_fused_trainer",
+    "chunk_seeds",
+    "replicate",
 ]
