@@ -77,26 +77,32 @@ class _Batch(NamedTuple):
     target: jax.Array
 
 
-def _gae(rewards, values, last_value, continues, gamma, lam):
+def _gae(rewards, values, next_values, dones, continues, gamma, lam):
     """Generalized advantage estimation over the scan (time) axis.
 
-    ``continues`` is ``1 - (done | truncated)`` — the reference's autoreset
-    exposes no terminal obs (reset-before-obs, SURVEY.md §3.2 ⚠), so both
-    termination kinds bootstrap-cut; documented trade-off of exact parity
-    with the reference's episode semantics.
+    ``next_values[t]`` is the value of the PRE-reset successor state of step
+    ``t`` (``V(observe(info["terminal_state"]))`` — on non-boundary steps
+    this is exactly ``V(obs[t+1])``), so time-limit truncation bootstraps
+    *through* the reset while true termination (``dones``) zeroes the
+    bootstrap.  ``continues = 1 - (done | truncated)`` only stops the
+    λ-recursion at episode boundaries; it never cuts the one-step bootstrap.
+    The reference's stateful API can't express this (its autoreset discards
+    the terminal obs, reset-before-obs, SURVEY.md §3.2 ⚠); the functional
+    core's ``terminal_state`` info makes the unbiased estimator free, and it
+    matches the semantics of the tabular learner
+    (:mod:`gym_po_tpu.agents.qlearning`).
     """
 
-    def step(carry, x):
-        gae, next_value = carry
-        reward, value, cont = x
-        delta = reward + gamma * next_value * cont - value
+    def step(gae, x):
+        reward, value, next_value, done, cont = x
+        delta = reward + gamma * next_value * (1.0 - done) - value
         gae = delta + gamma * lam * cont * gae
-        return (gae, value), gae
+        return gae, gae
 
-    (_, _), adv = jax.lax.scan(
+    _, adv = jax.lax.scan(
         step,
-        (jnp.zeros_like(last_value), last_value),
-        (rewards, values, continues),
+        jnp.zeros_like(values[-1]),
+        (rewards, values, next_values, dones, continues),
         reverse=True,
     )
     return adv, adv + values
@@ -188,20 +194,27 @@ def _build_update(
             key, ka, ks = jax.random.split(key, 3)
             pi, value = net.apply(ts.params, obs)
             action, logp = networks.sample_action(pi, ka)
-            nobs, nest, rew, done, trunc, _ = env.step_vec(ks, est, action)
+            nobs, nest, rew, done, trunc, info = env.step_vec(ks, est, action)
+            # value of the PRE-reset successor: bootstraps truncation (_gae)
+            _, v_term = net.apply(
+                ts.params, env.observe_vec(info["terminal_state"])
+            )
             fin = (done | trunc).astype(jnp.float32)
-            out = (obs, action, logp, value, rew.astype(jnp.float32), 1.0 - fin)
+            out = (obs, action, logp, value, v_term,
+                   done.astype(jnp.float32), rew.astype(jnp.float32),
+                   1.0 - fin)
             return (nobs, nest, key), out
 
-        (obs_f, est_f, key), (obs, action, logp, value, rew, cont) = jax.lax.scan(
+        (obs_f, est_f, key), (
+            obs, action, logp, value, v_term, done, rew, cont
+        ) = jax.lax.scan(
             env_step,
             (ts.env_obs, ts.env_state, key),
             None,
             length=config.rollout_steps,
         )
-        _, last_value = net.apply(ts.params, obs_f)
         adv, target = _gae(
-            rew, value, last_value, cont, config.gamma, config.gae_lambda
+            rew, value, v_term, done, cont, config.gamma, config.gae_lambda
         )
         flat = _Batch(
             obs=obs.reshape(-1, *obs.shape[2:]),

@@ -209,24 +209,32 @@ def make_rnn_train_step(
             key, ka, ks = jax.random.split(key, 3)
             h2, pi, value = net.apply(ts.params, h, obs, prev_reset)
             action, logp = networks.sample_action(pi, ka)
-            nobs, nest, rew, done, trunc, _ = env.step_vec(ks, est, action)
+            nobs, nest, rew, done, trunc, info = env.step_vec(ks, est, action)
+            # value of the PRE-reset successor under the post-step hidden —
+            # bootstraps truncated episodes through the time limit (_gae)
+            _, _, v_term = net.apply(
+                ts.params,
+                h2,
+                env.observe_vec(info["terminal_state"]),
+                jnp.zeros_like(done),
+            )
             fin = done | trunc
-            out = (obs, action, logp, value, prev_reset,
-                   rew.astype(jnp.float32), 1.0 - fin.astype(jnp.float32))
+            out = (obs, action, logp, value, v_term, prev_reset,
+                   done.astype(jnp.float32), rew.astype(jnp.float32),
+                   1.0 - fin.astype(jnp.float32))
             return (nobs, nest, h2, fin, key), out
 
         h0 = ts.hidden
         (obs_f, est_f, h_f, reset_f, key), (
-            obs, action, logp, value, reset, rew, cont
+            obs, action, logp, value, v_term, reset, done, rew, cont
         ) = jax.lax.scan(
             env_step,
             (ts.env_obs, ts.env_state, h0, ts.prev_reset, key),
             None,
             length=config.rollout_steps,
         )
-        _, _, last_value = net.apply(ts.params, h_f, obs_f, reset_f)
         adv, target = _gae(
-            rew, value, last_value, cont, config.gamma, config.gae_lambda
+            rew, value, v_term, done, cont, config.gamma, config.gae_lambda
         )
         seq = _Seq(obs, action, logp, value, reset, adv, target, h0)
 

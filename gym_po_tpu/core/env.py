@@ -109,5 +109,14 @@ class Environment(Generic[TState]):
         """Observation as a pure function of state."""
         raise NotImplementedError
 
+    def observe_vec(self, state: TState) -> jax.Array:
+        """Batched :meth:`observe` (leading axis on every state leaf).
+
+        Used by learners to observe ``info["terminal_state"]`` — the
+        pre-reset state — so truncated episodes can bootstrap their value
+        targets through the time limit.
+        """
+        return jax.vmap(self.observe)(state)
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"{type(self).__name__}({self.name})"

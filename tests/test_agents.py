@@ -126,3 +126,61 @@ def test_ppo_learns_carflag_smoke():
         ts, metrics = step(ts)
         rewards.append(float(metrics["mean_reward"]))
     assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) - 1e-4, rewards
+
+
+def test_gae_bootstraps_through_truncation():
+    """Hand-checked 3-step trajectory (VERDICT r1 item 2): a time-limit
+    truncation at t=1 must bootstrap gamma*V(terminal_state) into its delta
+    (the lambda-recursion still stops there), while a true termination at
+    the same step must cut the bootstrap entirely."""
+    from gym_po_tpu.agents.ppo import _gae
+
+    g, lam = 0.9, 0.8
+    rew = jnp.asarray([[1.0], [1.0], [1.0]])
+    val = jnp.asarray([[0.5], [0.6], [0.7]])
+    # next_values[t] = V(pre-reset successor of step t)
+    nxt = jnp.asarray([[0.6], [2.0], [0.3]])  # 2.0 = V(term obs at trunc)
+    cont = jnp.asarray([[1.0], [0.0], [1.0]])  # boundary after step 1
+
+    # --- truncation at t=1: bootstrap flows, recursion cut
+    done = jnp.asarray([[0.0], [0.0], [0.0]])
+    adv, target = _gae(rew, val, nxt, done, cont, g, lam)
+    d2 = 1.0 + g * 0.3 - 0.7
+    d1 = 1.0 + g * 2.0 - 0.6  # <-- bootstraps through the time limit
+    d0 = 1.0 + g * 0.6 - 0.5
+    exp = [d0 + g * lam * d1, d1, d2]  # gae1 has no tail (cont=0)
+    np.testing.assert_allclose(np.asarray(adv)[:, 0], exp, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(target)[:, 0], np.asarray(exp) + [0.5, 0.6, 0.7], rtol=1e-6
+    )
+
+    # --- true termination at t=1: bootstrap zeroed
+    done_t = jnp.asarray([[0.0], [1.0], [0.0]])
+    adv_t, _ = _gae(rew, val, nxt, done_t, cont, g, lam)
+    d1t = 1.0 - 0.6
+    exp_t = [d0 + g * lam * d1t, d1t, d2]
+    np.testing.assert_allclose(np.asarray(adv_t)[:, 0], exp_t, rtol=1e-6)
+
+
+def test_rollout_feeds_terminal_value_into_gae():
+    """Integration: in a taxi rollout crossing the 200-step limit, the
+    update must remain finite and the stored v_term at non-boundary steps
+    must equal V(obs[t+1]) (the pre-reset successor IS the next obs there)."""
+    env = gpt.make("HansenTaxi-v4", time_limit=8)
+    cfg = PPOConfig(num_envs=16, rollout_steps=12, epochs=1, minibatches=1,
+                    hidden=(16,))
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    step = make_train_step(env, net, cfg)
+    ts2, metrics = step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    # independent check of the identity the estimator relies on
+    key = jax.random.PRNGKey(1)
+    obs, st = env.reset_vec(key, 16)
+    k1, k2 = jax.random.split(key)
+    a = jax.random.randint(k1, (16,), 0, env.action_space.n)
+    nobs, nst, rew, done, trunc, info = env.step_vec(k2, st, a)
+    term_obs = env.observe_vec(info["terminal_state"])
+    boundary = np.asarray(done | trunc)
+    np.testing.assert_array_equal(
+        np.asarray(term_obs)[~boundary], np.asarray(nobs)[~boundary]
+    )
