@@ -13,6 +13,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.utils import pin_platform_from_env  # noqa: E402
+
+# honor JAX_PLATFORMS from the parent env (sitecustomize breaks it; see
+# utils/platform.py) — lets the test harness pin examples to CPU
+pin_platform_from_env()
 from gym_po_tpu.agents import QConfig, greedy_policy, q_learning  # noqa: E402
 from gym_po_tpu.vector import rollout  # noqa: E402
 

@@ -20,6 +20,11 @@ import jax
 
 sys.path.insert(0, ".")
 import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.utils import pin_platform_from_env  # noqa: E402
+
+# honor JAX_PLATFORMS from the parent env (sitecustomize breaks it; see
+# utils/platform.py) — lets the test harness pin examples to CPU
+pin_platform_from_env()
 from gym_po_tpu.agents import (  # noqa: E402
     PPOConfig,
     init_train_state,
