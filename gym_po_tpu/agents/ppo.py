@@ -348,20 +348,26 @@ def shard_train_state(
     ts: TrainState, mesh: Mesh, axis: str = "data"
 ) -> TrainState:
     """Lay out a host TrainState for the Anakin update: params replicated,
-    env fields sharded over ``axis``, one PRNG key per device."""
+    env fields sharded over ``axis``, one PRNG key per device.
+
+    Works multi-process too (each process holds the seed-identical host
+    state; :func:`~gym_po_tpu.parallel.put_global` slices out local shards).
+    """
     from jax.sharding import NamedSharding
+
+    from ..parallel import put_global
 
     n = int(np.prod(list(mesh.shape.values())))
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis))
     keys = jax.random.split(ts.key, n)
     return TrainState(
-        params=jax.device_put(ts.params, rep),
-        opt_state=jax.device_put(ts.opt_state, rep),
-        env_obs=jax.device_put(ts.env_obs, shd),
-        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
-        key=jax.device_put(keys, shd),
-        update_idx=jax.device_put(ts.update_idx, rep),
+        params=put_global(ts.params, rep),
+        opt_state=put_global(ts.opt_state, rep),
+        env_obs=put_global(ts.env_obs, shd),
+        env_state=put_global(ts.env_state, shd),
+        key=put_global(keys, shd),
+        update_idx=put_global(ts.update_idx, rep),
     )
 
 

@@ -168,22 +168,25 @@ def _rnn_loss(params, net, seq: _Seq, config: PPOConfig):
 
 def shard_rnn_state(ts: RNNTrainState, mesh: Mesh, axis: str = "data") -> RNNTrainState:
     """Anakin layout for the recurrent TrainState: params/opt replicated,
-    env fields + hidden + reset flags sharded, one PRNG key per device."""
+    env fields + hidden + reset flags sharded, one PRNG key per device.
+    Multi-process-safe via :func:`~gym_po_tpu.parallel.put_global`."""
     from jax.sharding import NamedSharding
+
+    from ..parallel import put_global
 
     n = int(np.prod(list(mesh.shape.values())))
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis))
     keys = jax.random.split(ts.key, n)
     return RNNTrainState(
-        params=jax.device_put(ts.params, rep),
-        opt_state=jax.device_put(ts.opt_state, rep),
-        env_obs=jax.device_put(ts.env_obs, shd),
-        env_state=jax.tree.map(lambda x: jax.device_put(x, shd), ts.env_state),
-        hidden=jax.device_put(ts.hidden, shd),
-        prev_reset=jax.device_put(ts.prev_reset, shd),
-        key=jax.device_put(keys, shd),
-        update_idx=jax.device_put(ts.update_idx, rep),
+        params=put_global(ts.params, rep),
+        opt_state=put_global(ts.opt_state, rep),
+        env_obs=put_global(ts.env_obs, shd),
+        env_state=put_global(ts.env_state, shd),
+        hidden=put_global(ts.hidden, shd),
+        prev_reset=put_global(ts.prev_reset, shd),
+        key=put_global(keys, shd),
+        update_idx=put_global(ts.update_idx, rep),
     )
 
 

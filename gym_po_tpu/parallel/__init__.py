@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     distributed_init,
     make_mesh,
+    put_global,
     shard_batch,
     sharded_rollout,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "distributed_init",
     "sharded_rollout",
     "shard_batch",
+    "put_global",
     "shard_fused_trainer",
     "chunk_seeds",
     "replicate",

@@ -34,7 +34,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, shard_map
+from .mesh import DATA_AXIS, put_global, shard_map
 
 __all__ = ["shard_fused_trainer", "chunk_seeds", "replicate"]
 
@@ -42,7 +42,7 @@ __all__ = ["shard_fused_trainer", "chunk_seeds", "replicate"]
 def replicate(mesh: Mesh, tree, axis: str = DATA_AXIS):
     """Place a host pytree fully replicated over the mesh."""
     del axis  # replicated along every axis
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    return put_global(tree, NamedSharding(mesh, P()))
 
 
 def chunk_seeds(seed: int, chunk_index: int, ndev: int) -> jax.Array:

@@ -17,6 +17,7 @@ the learner (gradient ``psum``) and in metric reductions (``pmean``).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -55,19 +56,36 @@ __all__ = [
 DATA_AXIS = "data"
 
 
-def distributed_init(**kwargs) -> None:
+def distributed_init(allow_fallback: Optional[bool] = None, **kwargs) -> None:
     """Multi-host bring-up: call once per host before any JAX computation.
 
     Thin wrapper over ``jax.distributed.initialize`` so user code has a single
     entry point; on a single host it is a no-op.
+
+    ``allow_fallback``: when True, an initialization failure degrades to
+    single-process execution with a ``RuntimeWarning``; when False it
+    re-raises.  Default: True for a bare call (env auto-detection — running
+    locally is the expected outcome off-cluster), False when explicit
+    coordinator kwargs are given (a misconfigured multi-host launch must NOT
+    silently train on 1/N of the fleet).
     """
-    if jax.process_count() > 1:  # already initialized
+    # NB: check via the distributed service, NOT jax.process_count() — the
+    # latter initializes the XLA backend, after which initialize() refuses
+    # to run.
+    if jax.distributed.is_initialized():
         return
+    if allow_fallback is None:
+        allow_fallback = not kwargs
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process (no coordinator configured) — run locally
-        pass
+    except (ValueError, RuntimeError) as e:
+        if not allow_fallback:
+            raise
+        warnings.warn(
+            f"jax.distributed.initialize failed ({e!r}); continuing "
+            "single-process. Pass allow_fallback=False to make this fatal.",
+            RuntimeWarning,
+        )
 
 
 def make_mesh(
@@ -92,10 +110,29 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def put_global(tree, sharding: NamedSharding):
+    """Lay out a host pytree (replicated on every process) as a global array.
+
+    Single-process: plain ``device_put``.  Multi-process: each process holds
+    the FULL host value (e.g. from a seed-identical ``init``), so
+    ``make_array_from_callback`` slices out the locally-addressable shards —
+    ``device_put`` cannot target non-addressable devices there.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree.map(put, tree)
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
     """Place a host pytree with a leading batch axis sharded over ``axis``."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(tree, sharding)
+    return put_global(tree, NamedSharding(mesh, P(axis)))
 
 
 def sharded_rollout(
