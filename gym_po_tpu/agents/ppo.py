@@ -328,14 +328,39 @@ def make_multi_train_step(
     num_updates: int,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
-) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    bounded: bool = False,
+) -> Callable[..., Tuple[TrainState, dict]]:
     """``num_updates`` PPO updates as ONE jitted scan — one device dispatch.
 
     A host loop of per-update dispatches pays the remote-tunnel latency
     (~170ms) per update; the scan pays it once per run.  Returned metrics
     are stacked ``[num_updates]`` arrays.
+
+    ``bounded=True`` returns ``multi(ts, limit)`` taking a TRACED total-update
+    limit: scan iterations whose carried ``update_idx`` has reached ``limit``
+    compute-and-discard (select against the old carry), so a run whose total
+    is not a multiple of the chunk size reuses ONE executable for the ragged
+    tail instead of paying a second cold compile (minutes on the tunnel; the
+    wasted tail iterations cost milliseconds).  Metrics rows past the limit
+    are garbage — callers slice the first ``limit - start`` rows.
     """
     upd = _build_update(env, net, config, mesh, axis)
+
+    if bounded:
+
+        @jax.jit
+        def multi_bounded(ts: TrainState, limit) -> Tuple[TrainState, dict]:
+            def body(t, _):
+                new_t, metrics = upd(t)
+                active = t.update_idx < limit
+                t2 = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_t, t
+                )
+                return t2, metrics
+
+            return jax.lax.scan(body, ts, None, length=num_updates)
+
+        return multi_bounded
 
     @jax.jit
     def multi(ts: TrainState) -> Tuple[TrainState, dict]:
@@ -390,17 +415,19 @@ def train(
         # init made the full global env batch; lay it out across the mesh
         ts = shard_train_state(ts, mesh)
     chunk = log_every if log_every else num_updates
-    step = make_multi_train_step(env, net, config, chunk, mesh)
+    # A ragged tail reuses the SAME chunk-sized executable with a traced
+    # update limit (bounded mode) — never a second cold compile.
+    ragged = num_updates % chunk != 0
+    step = make_multi_train_step(env, net, config, chunk, mesh, bounded=ragged)
+    limit = jnp.int32(num_updates)
     history = []
     done = 0
     while done < num_updates:
-        if num_updates - done < chunk:  # ragged tail: its own executable
-            chunk = num_updates - done
-            step = make_multi_train_step(env, net, config, chunk, mesh)
-        ts, metrics = step(ts)
-        done += chunk
+        ts, metrics = step(ts, limit) if ragged else step(ts)
+        n_eff = min(chunk, num_updates - done)
+        done += n_eff
         if log_every:
-            m = {k: float(v[-1]) for k, v in metrics.items()}
+            m = {k: float(v[n_eff - 1]) for k, v in metrics.items()}
             history.append(m)
             print(f"update {done}: {m}")
     return net, ts, history
