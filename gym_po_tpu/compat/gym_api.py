@@ -74,11 +74,17 @@ class GymnasiumVecAdapter(gymnasium.Env):
         env: Environment,
         num_envs: int,
         render_mode: Optional[str] = None,
+        info_mode: str = "reference",
     ):
+        if info_mode not in ("reference", "full"):
+            raise ValueError(
+                f"info_mode must be 'reference' or 'full', got {info_mode!r}"
+            )
         self.env = env
         self.num_envs = int(num_envs)
         self.is_vector_env = True
         self.render_mode = render_mode
+        self.info_mode = info_mode
         self._window = None
 
         self.single_observation_space = env.observation_space.to_gymnasium()
@@ -113,12 +119,21 @@ class GymnasiumVecAdapter(gymnasium.Env):
         obs, self._state, rew, done, trunc, info = self._step_jit(
             ks, self._state, np.asarray(actions)
         )
+        # Reference quirk: the reference vec envs return an empty info dict
+        # (extended_taxi.py:287); ``info_mode="full"`` opts in to the
+        # functional layer's info instead (``terminal_state`` for bootstrap-
+        # through-truncation, episode stats when the inner env is wrapped in
+        # :class:`~gym_po_tpu.vector.RecordEpisodeStatistics`).
+        if self.info_mode == "full":
+            out_info = jax.tree.map(np.asarray, dict(info))
+        else:
+            out_info = {}
         return (
             np.asarray(obs),
             np.asarray(rew),
             np.asarray(done),
             np.asarray(trunc),
-            {},
+            out_info,
         )
 
     def render(self, idx: Optional[Sequence[int]] = None):
@@ -166,6 +181,7 @@ class TaxiVecEnv(GymnasiumVecAdapter):
         reward_bad: float = -0.5,
         reward_any: float = -0.05,
         render_mode: Optional[str] = None,
+        info_mode: str = "reference",
     ):
         super().__init__(
             Taxi(
@@ -179,6 +195,7 @@ class TaxiVecEnv(GymnasiumVecAdapter):
             ),
             num_envs,
             render_mode,
+            info_mode,
         )
 
 
@@ -194,8 +211,9 @@ class RoomsEnv(GymnasiumVecAdapter):
 
     _bare_reset = True
 
-    def __init__(self, num_envs: int, render_mode: Optional[str] = None, **kw):
-        super().__init__(Rooms(**kw), num_envs, render_mode)
+    def __init__(self, num_envs: int, render_mode: Optional[str] = None,
+                 info_mode: str = "reference", **kw):
+        super().__init__(Rooms(**kw), num_envs, render_mode, info_mode)
 
 
 class CRoomsEnv(GymnasiumVecAdapter):
@@ -203,8 +221,9 @@ class CRoomsEnv(GymnasiumVecAdapter):
 
     _bare_reset = True
 
-    def __init__(self, num_envs: int, render_mode: Optional[str] = None, **kw):
-        super().__init__(CRooms(**kw), num_envs, render_mode)
+    def __init__(self, num_envs: int, render_mode: Optional[str] = None,
+                 info_mode: str = "reference", **kw):
+        super().__init__(CRooms(**kw), num_envs, render_mode, info_mode)
 
     def seed(self, seed: Optional[int] = None):
         """Reference crooms.py:246-249: reseed the private stream."""
@@ -215,8 +234,11 @@ class CRoomsEnv(GymnasiumVecAdapter):
 class MultistoryFourRoomsEnv(GymnasiumVecAdapter):
     """Reference ``MultistoryFourRoomsEnv`` surface (msrooms.py:257-433)."""
 
-    def __init__(self, num_envs: int, render_mode: Optional[str] = None, **kw):
-        super().__init__(MultistoryFourRooms(**kw), num_envs, render_mode)
+    def __init__(self, num_envs: int, render_mode: Optional[str] = None,
+                 info_mode: str = "reference", **kw):
+        super().__init__(
+            MultistoryFourRooms(**kw), num_envs, render_mode, info_mode
+        )
 
 
 class CarVecEnv(GymnasiumVecAdapter):
@@ -227,8 +249,11 @@ class CarVecEnv(GymnasiumVecAdapter):
         num_envs: int,
         time_limit: int = 160,
         render_mode: Optional[str] = None,
+        info_mode: str = "reference",
     ):
-        super().__init__(CarFlag(time_limit=time_limit), num_envs, render_mode)
+        super().__init__(
+            CarFlag(time_limit=time_limit), num_envs, render_mode, info_mode
+        )
 
 
 class DiscreteActionCarVecEnv(GymnasiumVecAdapter):
@@ -240,11 +265,13 @@ class DiscreteActionCarVecEnv(GymnasiumVecAdapter):
         num_envs: int,
         time_limit: int = 160,
         render_mode: Optional[str] = None,
+        info_mode: str = "reference",
     ):
         super().__init__(
             DiscreteCarFlag(num_actions=num_actions, time_limit=time_limit),
             num_envs,
             render_mode,
+            info_mode,
         )
         nact = num_actions // 2
         self.action_names = ["<" * i + ":" for i in reversed(range(1, nact + 1))] + [
