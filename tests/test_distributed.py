@@ -8,6 +8,8 @@ processes.  Plus unit tests of ``distributed_init``'s explicit fallback
 contract (a misconfigured multi-host launch must not silently degrade).
 """
 
+import os
+import pathlib
 import socket
 import subprocess
 import sys
@@ -69,11 +71,16 @@ def test_two_process_ppo_train_step(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     port = _free_port()
+    # the worker script lives in tmp_path, so sys.path[0] is tmp_path, not
+    # the repo root — make gym_po_tpu importable explicitly
+    repo_root = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(rank), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=".",
+            env=env,
         )
         for rank in range(2)
     ]
