@@ -34,11 +34,14 @@ def _rows_bank(values: np.ndarray, fill) -> np.ndarray:
 
 def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
                               rows_per_tile: int = 128,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              episode_stats: bool = False):
     """Build ``run(seed, py, px, vy, vx, gy, gx) -> (state'..., reward_sums)``.
 
     All six state arrays are f32 ``[num_envs // 128, 128]``.
     Supports ``action_type='yx'`` (the continuous default).
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     if env.action_type != "yx":
         raise ValueError("fused crooms kernel supports action_type='yx'")
@@ -79,7 +82,8 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
 
     def kernel(seed_ref, py_r, px_r, vy_r, vx_r, gy_r, gx_r, wall_r_, valid_r_,
                *outs):
-        o_py, o_px, o_vy, o_vx, o_gy, o_gx, rew_ref = outs
+        o_py, o_px, o_vy, o_vx, o_gy, o_gx, rew_ref = outs[:7]
+        stat_refs = outs[7:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
@@ -130,7 +134,7 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             return bank_gather(cyi * GW + cxi, wall_r_, n_wall_rows) == 1
 
         def body(step, carry):
-            py, px, vy, vx, gy, gx, elapsed, racc = carry
+            py, px, vy, vx, gy, gx, elapsed, racc, stats = carry
             ay = (runiform() * 2.0 - 1.0 + rnormal() * std) * power
             ax = (runiform() * 2.0 - 1.0 + rnormal() * std) * power
             if use_vel:
@@ -167,6 +171,16 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             elapsed = elapsed + 1
             trunc = elapsed > time_limit
             reset = done | trunc
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             ngy, ngx = sample_coords(fg)
             nay, nax = sample_coords(fa)
             gy2 = jnp.where(reset, ngy, gy)
@@ -176,13 +190,14 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             vy4 = jnp.where(reset, 0.0, vy3)
             vx4 = jnp.where(reset, 0.0, vx3)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (py3, px3, vy4, vx4, gy2, gx2, elapsed, racc + rew)
+            return (py3, px3, vy4, vx4, gy2, gx2, elapsed, racc + rew, stats)
 
         zi = jnp.zeros((R, W), jnp.int32)
-        py, px, vy, vx, gy, gx, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        py, px, vy, vx, gy, gx, _, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
             (py_r[:], px_r[:], vy_r[:], vx_r[:], gy_r[:], gx_r[:], zi,
-             jnp.zeros((R, W), jnp.float32)),
+             zf, (zf, zf, zf, zf)),
         )
         o_py[:] = py
         o_px[:] = px
@@ -191,11 +206,16 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
         o_gy[:] = gy
         o_gx[:] = gx
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows_total = num_envs // W
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+    n_out = 7 + (3 if episode_stats else 0)
 
     @jax.jit
     def run(seed, py, px, vy, vx, gy, gx):
@@ -206,8 +226,8 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 6
             + [tab] * 2,
-            out_specs=(spec,) * 7,
-            out_shape=(f32,) * 7,
+            out_specs=(spec,) * n_out,
+            out_shape=(f32,) * n_out,
         )(seed, py, px, vy, vx, gy, gx, wall_b, valid_b)
 
     return run

@@ -32,11 +32,14 @@ def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
 
 def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
                                rows_per_tile: int = 128,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               episode_stats: bool = False):
     """Build ``run(seed, agent, goal) -> (agent', goal', reward_sums)``.
 
     ``agent``/``goal`` are flat zyx cell indices (``z*H*Wg + y*Wg + x``) laid
     out ``[num_envs // 128, 128]`` int32.
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     grid_np = env.grid_np  # [Z, H, Wg], codes {0 wall, 1 room, 2 down, 3 up}
@@ -88,7 +91,7 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
     disp_b = jnp.asarray(_rows_bank(disp_flat.astype(np.int32), 0))
 
     def kernel(seed_ref, a_ref, g_ref, cell_r, ab_r, gb_r, disp_r,
-               out_a, out_g, rew_ref):
+               out_a, out_g, rew_ref, *stat_refs):
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
@@ -124,7 +127,7 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
             return bank_gather(rbits(n_agent), ab_r, n_agent_rows)
 
         def body(step, carry):
-            agent, goal, elapsed, racc = carry
+            agent, goal, elapsed, racc, stats = carry
             a_cmd = rbits(A)
             fail = runiform() < jnp.float32(p_fail)
             alt = rbits(A - 1)
@@ -150,25 +153,41 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
             elapsed = elapsed + 1
             trunc = elapsed > time_limit
             reset = done | trunc
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             goal2 = jnp.where(reset, sample_goal_cell(), goal)
             agent3 = jnp.where(reset, sample_agent_cell(), agent2)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (agent3, goal2, elapsed, racc + rew)
+            return (agent3, goal2, elapsed, racc + rew, stats)
 
         zeros = jnp.zeros((R, W), jnp.int32)
-        agent, goal, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        agent, goal, _, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
-            (a_ref[:], g_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
+            (a_ref[:], g_ref[:], zeros, zf, (zf, zf, zf, zf)),
         )
         out_a[:] = agent
         out_g[:] = goal
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows_total = num_envs // W
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+    n_extra = 3 if episode_stats else 0
 
     @jax.jit
     def run(seed, agent, goal):
@@ -179,8 +198,8 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 2
             + [tab] * 4,
-            out_specs=(spec, spec, spec),
-            out_shape=(i32, i32, f32),
+            out_specs=(spec,) * (3 + n_extra),
+            out_shape=(i32, i32, f32) + (f32,) * n_extra,
         )(seed, agent, goal, cell_b, agent_b, goal_b, disp_b)
 
     return run

@@ -38,11 +38,14 @@ W = 128
 
 def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
                                   rows_per_tile: int = 128,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  episode_stats: bool = False):
     """Build ``run(seed, pos, mask) -> (pos', mask', reward_sums)``.
 
     ``pos`` is the flat cell index and ``mask`` the rock-quality bitmask,
     both int32 ``[num_envs // 128, 128]``.
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     rows, cols, k = env.rows, env.cols, env.k
@@ -78,7 +81,7 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
     full_mask = (1 << k) - 1
 
     def kernel(seed_ref, pos_ref, mask_ref, ra_r, ry_r, rx_r,
-               out_pos, out_mask, rew_ref):
+               out_pos, out_mask, rew_ref, *stat_refs):
         # large-prime stride keeps tile streams disjoint across nearby seeds
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
@@ -96,7 +99,7 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
             return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
 
         def body(step, carry):
-            pos, mask, elapsed, racc = carry
+            pos, mask, elapsed, racc, stats = carry
             a = rbits(n_actions)
             y = pos // cols
             x = pos % cols
@@ -143,26 +146,42 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
             elapsed = elapsed + 1
             trunc = elapsed >= time_limit
             reset = exited | trunc
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             new_mask = rbits(full_mask + 1)
             pos3 = jnp.where(reset, init_flat, pos2)
             mask3 = jnp.where(reset, new_mask, mask2)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (pos3, mask3, elapsed, racc + rew)
+            return (pos3, mask3, elapsed, racc + rew, stats)
 
         zi = jnp.zeros((R, W), jnp.int32)
-        pos, mask, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        pos, mask, _, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
-            (pos_ref[:], mask_ref[:], zi, jnp.zeros((R, W), jnp.float32)),
+            (pos_ref[:], mask_ref[:], zi, zf, (zf, zf, zf, zf)),
         )
         out_pos[:] = pos
         out_mask[:] = mask
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows_total = num_envs // W
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+    n_extra = 3 if episode_stats else 0
 
     @jax.jit
     def run(seed, pos, mask):
@@ -173,8 +192,8 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 2
             + [tab] * 3,
-            out_specs=(spec, spec, spec),
-            out_shape=(i32, i32, f32),
+            out_specs=(spec,) * (3 + n_extra),
+            out_shape=(i32, i32, f32) + (f32,) * n_extra,
         )(seed, pos, mask, rock_at_b, ry_b, rx_b)
 
     return run

@@ -57,11 +57,14 @@ def _tiling(num_envs: int, rows_per_tile: int):
 
 def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
                            rows_per_tile: int = 128,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           episode_stats: bool = False):
     """Build ``run(seed, a0, a1, t0, t1) -> (a0', a1', t0', t1', reward_sums)``.
 
     All five arrays are f32 ``[num_envs // 128, 128]`` (agent xy, target xy
     component tiles; reward sums accumulated over ``num_steps``).
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     R, grid_n = _tiling(num_envs, rows_per_tile)
@@ -69,7 +72,8 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
     time_limit = int(env.time_limit)
 
     def kernel(seed_ref, a0_r, a1_r, t0_r, t1_r, *outs):
-        o_a0, o_a1, o_t0, o_t1, rew_ref = outs
+        o_a0, o_a1, o_t0, o_t1, rew_ref = outs[:5]
+        stat_refs = outs[5:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def runiform():
@@ -111,7 +115,7 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
             return out0, out1
 
         def body(step, carry):
-            a0, a1, t0, t1, elapsed, racc = carry
+            a0, a1, t0, t1, elapsed, racc, stats = carry
             # agent: clipped point-mass move under the uniform-random policy
             a0 = jnp.clip(a0 + (runiform() * 2.0 - 1.0) * speed, -CAGE, CAGE)
             a1 = jnp.clip(a1 + (runiform() * 2.0 - 1.0) * speed, -CAGE, CAGE)
@@ -139,6 +143,16 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
             rew = done.astype(jnp.float32)
             elapsed = elapsed + 1
             reset = done | (elapsed >= time_limit)
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             na0 = rcage()
             na1 = rcage()
             nt0, nt1 = spawn_target(na0, na1)
@@ -147,21 +161,27 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
             t0 = jnp.where(reset, nt0, t0)
             t1 = jnp.where(reset, nt1, t1)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (a0, a1, t0, t1, elapsed, racc + rew)
+            return (a0, a1, t0, t1, elapsed, racc + rew, stats)
 
-        a0, a1, t0, t1, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        a0, a1, t0, t1, _, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
             (a0_r[:], a1_r[:], t0_r[:], t1_r[:], jnp.zeros((R, W), jnp.int32),
-             jnp.zeros((R, W), jnp.float32)),
+             zf, (zf, zf, zf, zf)),
         )
         o_a0[:] = a0
         o_a1[:] = a1
         o_t0[:] = t0
         o_t1[:] = t1
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((num_envs // W, W), jnp.float32)
+    n_out = 5 + (3 if episode_stats else 0)
 
     @jax.jit
     def run(seed, a0, a1, t0, t1):
@@ -170,8 +190,8 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
-            out_specs=(spec,) * 5,
-            out_shape=(f32,) * 5,
+            out_specs=(spec,) * n_out,
+            out_shape=(f32,) * n_out,
         )(seed, a0, a1, t0, t1)
 
     return run
@@ -179,11 +199,14 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
 
 def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
                                   rows_per_tile: int = 128,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  episode_stats: bool = False):
     """Build ``run(seed, x, y, heaven) -> (x', y', heaven', reward_sums)``.
 
     ``x``/``y``/``reward_sums`` are f32 tiles, ``heaven`` is an int32 tile
     (1 = heaven on the +x side this episode).
+    ``episode_stats=True`` appends per-env completed-episode return/length
+    sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     R, grid_n = _tiling(num_envs, rows_per_tile)
@@ -193,7 +216,8 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
     r2 = float(HH_RADIUS**2)
 
     def kernel(seed_ref, x_r, y_r, h_r, *outs):
-        o_x, o_y, o_h, rew_ref = outs
+        o_x, o_y, o_h, rew_ref = outs[:4]
+        stat_refs = outs[4:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
 
         def runiform():
@@ -210,7 +234,7 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
             return stem | bar
 
         def body(step, carry):
-            x, y, h, elapsed, racc = carry
+            x, y, h, elapsed, racc, stats = carry
             px = x + (runiform() * 2.0 - 1.0) * speed
             py = y + (runiform() * 2.0 - 1.0) * speed
             ok = in_free(px, py)
@@ -229,6 +253,16 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
             )
             elapsed = elapsed + 1
             reset = done | (elapsed >= time_limit)
+            if episode_stats:
+                cur_ret, ep_ret, ep_len, ep_cnt = stats
+                cur_ret = cur_ret + rew
+                ep_ret = jnp.where(reset, ep_ret + cur_ret, ep_ret)
+                ep_len = jnp.where(
+                    reset, ep_len + elapsed.astype(jnp.float32), ep_len
+                )
+                ep_cnt = jnp.where(reset, ep_cnt + 1.0, ep_cnt)
+                cur_ret = jnp.where(reset, 0.0, cur_ret)
+                stats = (cur_ret, ep_ret, ep_len, ep_cnt)
             # spawn: x ~ U(-1,1), y ~ U(0,1), fair heaven coin
             nx = runiform() * 2.0 - 1.0
             ny = runiform()
@@ -237,22 +271,28 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
             y = jnp.where(reset, ny, y)
             h = jnp.where(reset, nh, h)
             elapsed = jnp.where(reset, 0, elapsed)
-            return (x, y, h, elapsed, racc + rew)
+            return (x, y, h, elapsed, racc + rew, stats)
 
-        x, y, h, _, racc = jax.lax.fori_loop(
+        zf = jnp.zeros((R, W), jnp.float32)
+        x, y, h, _, racc, stats = jax.lax.fori_loop(
             0, num_steps, body,
             (x_r[:], y_r[:], h_r[:], jnp.zeros((R, W), jnp.int32),
-             jnp.zeros((R, W), jnp.float32)),
+             zf, (zf, zf, zf, zf)),
         )
         o_x[:] = x
         o_y[:] = y
         o_h[:] = h
         rew_ref[:] = racc
+        if episode_stats:
+            stat_refs[0][:] = stats[1]
+            stat_refs[1][:] = stats[2]
+            stat_refs[2][:] = stats[3]
 
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rows_total = num_envs // W
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
+    n_extra = 3 if episode_stats else 0
 
     @jax.jit
     def run(seed, x, y, h):
@@ -261,8 +301,8 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 3,
-            out_specs=(spec,) * 3 + (spec,),
-            out_shape=(f32, f32, i32, f32),
+            out_specs=(spec,) * (4 + n_extra),
+            out_shape=(f32, f32, i32, f32) + (f32,) * n_extra,
         )(seed, x, y, h)
 
     return run

@@ -65,3 +65,25 @@ def test_fused_msrooms_stats_match_scan():
     traj, _ = jax.jit(lambda k: rollout(env, k, None, B, K))(jax.random.PRNGKey(0))
     scan_mean = float(np.asarray(traj.reward).mean())
     assert abs(fused_mean - scan_mean) < 0.003, (fused_mean, scan_mean)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
+def test_fused_msrooms_episode_stats():
+    """Zero-PRNG interpret: every env truncates within K; stats fields must
+    be populated and self-consistent."""
+    env = gpt.make("MultistoryFourRooms-v0", grid_z=2, obs_type="mdp",
+                   goal_xyz=None, time_limit=40)
+    B = 256
+    K = env.time_limit + 10
+    run = make_fused_msrooms_rollout(env, B, K, interpret=True,
+                                     episode_stats=True)
+    a0, g0 = _init(env, B)
+    out = run(jnp.asarray([3], jnp.int32), a0, g0)
+    assert len(out) == 6
+    ep_ret, ep_len, ep_cnt = (np.asarray(o).reshape(-1) for o in out[3:])
+    assert (ep_cnt >= 1).all()
+    assert (ep_len <= (env.time_limit + 1) * ep_cnt).all()
+    assert np.isfinite(ep_ret).all()

@@ -62,3 +62,26 @@ def test_fused_rocksample_stats_match_scan():
     traj, _ = jax.jit(lambda k: rollout(env, k, None, B, K))(jax.random.PRNGKey(0))
     scan_mean = float(np.asarray(traj.reward).mean())
     assert abs(fused_mean - scan_mean) < 0.15, (fused_mean, scan_mean)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform == "tpu",
+    reason="interpret-mode kernels dispatch per-op over the TPU tunnel (hours)",
+)
+def test_fused_rocksample_episode_stats():
+    """Zero-PRNG interpret: every env truncates within K (action 0 = north,
+    never exits east); stats fields must be populated and self-consistent."""
+    env = gpt.make("RockSample-v0", map_size=(7, 7), num_rocks=8,
+                   time_limit=40)
+    B = 256
+    K = env.time_limit + 10
+    run = make_fused_rocksample_rollout(env, B, K, interpret=True,
+                                        episode_stats=True)
+    pos0, mask0 = _init(env, B)
+    out = run(jnp.asarray([3], jnp.int32), pos0, mask0)
+    assert len(out) == 6
+    ep_ret, ep_len, ep_cnt = (np.asarray(o).reshape(-1) for o in out[3:])
+    assert (ep_cnt >= 1).all()
+    # trunc fires at elapsed >= time_limit -> episodes are <= time_limit long
+    assert (ep_len <= env.time_limit * ep_cnt).all()
+    assert np.isfinite(ep_ret).all()

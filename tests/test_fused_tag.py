@@ -113,3 +113,40 @@ def test_fused_heavenhell_stats_match_scan():
     # random walk rarely reaches either arm; both means are near 0 — require
     # the fused and scan estimates to agree tightly in absolute terms
     assert abs(fused_mean - scan_mean) < 5e-4, (fused_mean, scan_mean)
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_tag_episode_stats():
+    """Zero-PRNG interpret: every env completes episodes within K; stats
+    fields must be populated and self-consistent."""
+    env = gpt.make("TagContinuous-v0", time_limit=30)
+    B = 256
+    K = env.time_limit + 10
+    run = make_fused_tag_rollout(env, B, K, interpret=True,
+                                 episode_stats=True)
+    out = run(jnp.asarray([3], jnp.int32), *_tag_init(env, B))
+    assert len(out) == 8
+    ep_ret, ep_len, ep_cnt = (np.asarray(o).reshape(-1) for o in out[5:])
+    assert (ep_cnt >= 1).all()
+    assert (ep_len <= env.time_limit * ep_cnt).all()
+    assert np.isfinite(ep_ret).all()
+
+
+@pytest.mark.skipif(
+    ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
+)
+def test_fused_heavenhell_episode_stats():
+    env = gpt.make("HeavenHellContinuous-v0", time_limit=30)
+    B = 256
+    K = env.time_limit + 10
+    run = make_fused_heavenhell_rollout(env, B, K, interpret=True,
+                                        episode_stats=True)
+    out = run(jnp.asarray([3], jnp.int32), *_hh_init(env, B))
+    assert len(out) == 7
+    ep_ret, ep_len, ep_cnt = (np.asarray(o).reshape(-1) for o in out[4:])
+    assert (ep_cnt >= 1).all()
+    assert (ep_len <= env.time_limit * ep_cnt).all()
+    # HH episode rewards are in {-1, 0, +1} per episode
+    assert (np.abs(ep_ret) <= ep_cnt).all()
