@@ -98,9 +98,13 @@ def render_taxi(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     """PO-Taxi frame: walls from the bordered map, landmarks, taxi, passenger.
 
     Semantics match the reference's character overlay (extended_taxi.py:
-    289-342: D destination, T taxi, P passenger, F full taxi) as colors.
+    289-342: D destination, T taxi, P passenger, F full taxi), drawn both as
+    colors and as text glyphs (reference render_utils.py:36-61 capability:
+    landmark letters from the map string, T/F taxi status, P passenger,
+    D destination).
     """
     from ..maps.taxi_maps import decode_state_np
+    from .glyphs import draw_text_at
 
     t = env.tables
     idx = _indices(idx)
@@ -108,6 +112,12 @@ def render_taxi(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
     r, c, p, d = decode_state_np(np.asarray(s, np.int64), t.cols, t.nlocs)
     frames = []
     px = CELL_PX
+
+    def _cell_text(img, yy, xx, ch, color):
+        # 5x7 glyph centered in the 16px cell
+        draw_text_at(img, ch, (xx * px + (px - 5) // 2, yy * px + (px - 7) // 2),
+                     color)
+
     for k in range(len(idx)):
         img = _blank(t.rows * px, t.cols * px, COLORS["wall"])
         for yy in range(t.rows):
@@ -123,13 +133,21 @@ def render_taxi(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
                     img[yy * px : (yy + 1) * px, xx * px : xx * px + 2] = COLORS["wall"]
                 if code & 8:
                     img[yy * px : (yy + 1) * px, (xx + 1) * px - 2 : (xx + 1) * px] = COLORS["wall"]
+        # landmark letters straight from the map string (R/G/Y/B...)
+        for li in range(t.nlocs):
+            ly, lx = t.np_locs[li]
+            _cell_text(img, ly, lx, str(t.tgrid[ly, lx]), (120, 120, 130))
         dy, dx = t.np_locs[d[k]]
         _dot(img, dy, dx, COLORS["destination"])
+        _cell_text(img, dy, dx, "D", (255, 255, 255))
         in_taxi = p[k] == t.nlocs
         _fill_cell(img, r[k], c[k], COLORS["taxi_full" if in_taxi else "taxi"], pad=3)
         if not in_taxi:
             py, pxx = t.np_locs[p[k]]
             _dot(img, py, pxx, COLORS["passenger"])
+            _cell_text(img, py, pxx, "P", (255, 255, 255))
+        # taxi status glyph last so it stays legible on the taxi cell
+        _cell_text(img, r[k], c[k], "F" if in_taxi else "T", (0, 0, 0))
         frames.append(img)
     return tile_images(frames)
 

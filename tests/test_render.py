@@ -1,0 +1,81 @@
+"""Host-side renderer tests: glyph blitting + labeled taxi frames.
+
+Reference capability: cv2-based ``draw_text_at`` (render_utils.py:36-61) and
+the taxi character overlay (extended_taxi.py:289-342).  Ours is pure NumPy,
+so the output is deterministic and directly assertable.
+"""
+
+import numpy as np
+
+import jax
+
+import gym_po_tpu as gpt
+from gym_po_tpu.render import render_taxi
+from gym_po_tpu.render.glyphs import GLYPH_H, GLYPH_W, draw_text_at, text_size
+
+
+def test_draw_text_writes_glyph_pixels():
+    img = np.zeros((20, 40, 3), np.uint8)
+    draw_text_at(img, "T", (2, 3), (255, 0, 0))
+    # 'T': full top row at y=3, x=2..6
+    assert (img[3, 2:7] == (255, 0, 0)).all()
+    # stem below, flanks empty
+    assert (img[6, 4] == (255, 0, 0)).all()
+    assert (img[6, 2] == 0).all() and (img[6, 6] == 0).all()
+
+
+def test_draw_text_scale_and_size():
+    h, w = text_size("AB", scale=2)
+    assert h == GLYPH_H * 2
+    assert w == (2 * (GLYPH_W + 1) - 1) * 2
+    img = np.zeros((30, 40, 3), np.uint8)
+    draw_text_at(img, "A", (0, 0), (9, 9, 9), scale=2)
+    assert (img == 9).any()
+
+
+def test_draw_text_clips_at_frame_edges():
+    img = np.zeros((8, 8, 3), np.uint8)
+    # partially off every edge: must not raise, must not wrap around
+    draw_text_at(img, "W", (-3, -4), (255, 255, 255))
+    draw_text_at(img, "W", (6, 6), (255, 255, 255))
+    draw_text_at(img, "W", (100, 100), (255, 255, 255))
+    assert img.shape == (8, 8, 3)
+
+
+def test_draw_text_unknown_char_falls_back():
+    img = np.zeros((10, 10, 3), np.uint8)
+    draw_text_at(img, "~", (1, 1), (7, 7, 7))  # renders the '?' glyph
+    assert (img == 7).any()
+
+
+def test_taxi_render_has_landmark_and_status_glyphs():
+    from gym_po_tpu.maps.taxi_maps import decode_state_np
+
+    env = gpt.make("Taxi-v4")
+    _, state = env.reset_vec(jax.random.PRNGKey(0), 4)
+    img = render_taxi(env, state, idx=[0])
+    t = env.tables
+    px = 16
+    r, c, p, d = decode_state_np(np.asarray(state.s)[:1].astype(np.int64),
+                                 t.cols, t.nlocs)
+    # cells whose landmark letter is overdrawn by the D/P/taxi overlays
+    occupied = {(int(r[0]), int(c[0])), tuple(t.np_locs[int(d[0])])}
+    if int(p[0]) < t.nlocs:
+        occupied.add(tuple(t.np_locs[int(p[0])]))
+    # landmark letters drawn in (120,120,130) on every uncovered landmark cell
+    for li in range(t.nlocs):
+        ly, lx = t.np_locs[li]
+        if (ly, lx) in occupied:
+            continue
+        cell = img[ly * px : (ly + 1) * px, lx * px : (lx + 1) * px]
+        assert (cell == np.array([120, 120, 130])).all(-1).any(), (
+            f"no landmark glyph at loc {li}"
+        )
+    # taxi status glyph: black 'T'/'F' pixels inside the taxi cell
+    cell = img[int(r[0]) * px : (int(r[0]) + 1) * px,
+               int(c[0]) * px : (int(c[0]) + 1) * px]
+    assert (cell == 0).all(-1).any(), "no status glyph on the taxi cell"
+    # destination 'D' in white on the destination cell
+    dy, dx = t.np_locs[int(d[0])]
+    cell = img[dy * px : (dy + 1) * px, dx * px : (dx + 1) * px]
+    assert (cell == 255).all(-1).any(), "no D glyph on the destination cell"
