@@ -19,6 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..envs.crooms import MAX_VELOCITY
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_crooms_rollout"]
 
@@ -35,13 +36,17 @@ def _rows_bank(values: np.ndarray, fill) -> np.ndarray:
 def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
                               rows_per_tile: int = 128,
                               interpret: bool = False,
-                              episode_stats: bool = False):
+                              episode_stats: bool = False,
+                              rng_tape: bool = False):
     """Build ``run(seed, py, px, vy, vx, gy, gx) -> (state'..., reward_sums)``.
 
     All six state arrays are f32 ``[num_envs // 128, 128]``.
     Supports ``action_type='yx'`` (the continuous default).
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     if env.action_type != "yx":
         raise ValueError("fused crooms kernel supports action_type='yx'")
@@ -80,12 +85,21 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
     wall_b = jnp.asarray(wall_bank_np)
     valid_b = jnp.asarray(valid_bank_np)
 
+    # draw sites per step, in body-trace order: ay (uniform + 2-draw
+    # normal), ax (same), wall-resample ry/rx normals (2 draws each),
+    # goal respawn, agent respawn (fixed spawns consume no draw)
+    n_sites = 10 + (0 if fg is not None else 1) + (0 if fa is not None else 1)
+
     def kernel(seed_ref, py_r, px_r, vy_r, vx_r, gy_r, gx_r, wall_r_, valid_r_,
                *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         o_py, o_px, o_vy, o_vx, o_gy, o_gx, rew_ref = outs[:7]
         stat_refs = outs[7:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         # large-prime stride keeps tile streams disjoint across nearby seeds
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits, runiform, rnormal = rng.rbits, rng.runiform, rng.rnormal
 
         def shuffle(lane_idx, row):
             return jnp.take_along_axis(
@@ -99,21 +113,6 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             for r in range(1, n_rows):
                 out = jnp.where(row == r, shuffle(lane, bank_ref[r : r + 1, :]), out)
             return out
-
-        def runiform():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
-
-        def rnormal():
-            u1 = jnp.maximum(runiform(), jnp.float32(1e-12))
-            u2 = runiform()
-            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-                jnp.float32(2.0 * np.pi) * u2
-            )
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
 
         def sample_coords(fixed):
             if fixed is not None:
@@ -135,6 +134,7 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             py, px, vy, vx, gy, gx, elapsed, racc, stats = carry
+            rng.begin_step(step)
             ay = (runiform() * 2.0 - 1.0 + rnormal() * std) * power
             ax = (runiform() * 2.0 - 1.0 + rnormal() * std) * power
             if use_vel:
@@ -154,6 +154,8 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             cenx = jnp.floor(px / cs) * cs + cs / 2
             hiy = jnp.nextafter(ceny + cs / 2, jnp.float32(0.0))
             hix = jnp.nextafter(cenx + cs / 2, jnp.float32(0.0))
+            # NOTE: both resample normals are drawn every step (fixed draw
+            # structure) even though they only land on wall hits
             ry = jnp.clip(ceny + rnormal() * 0.5, ceny - cs / 2, hiy)
             rx = jnp.clip(cenx + rnormal() * 0.5, cenx - cs / 2, hix)
             py2 = jnp.where(oob, ry, ny)
@@ -199,6 +201,7 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
             (py_r[:], px_r[:], vy_r[:], vx_r[:], gy_r[:], gx_r[:], zi,
              zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         o_py[:] = py
         o_px[:] = px
         o_vy[:] = vy
@@ -216,18 +219,31 @@ def make_fused_crooms_rollout(env, num_envs: int, num_steps: int,
     rows_total = num_envs // W
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
     n_out = 7 + (3 if episode_stats else 0)
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed, py, px, vy, vx, gy, gx):
+    def run(seed, py, px, vy, vx, gy, gx, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 6
-            + [tab] * 2,
+            + [tab] * 2
+            + tape_specs,
             out_specs=(spec,) * n_out,
             out_shape=(f32,) * n_out,
-        )(seed, py, px, vy, vx, gy, gx, wall_b, valid_b)
+        )(seed, py, px, vy, vx, gy, gx, wall_b, valid_b, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run

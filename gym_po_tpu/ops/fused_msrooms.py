@@ -17,6 +17,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..envs.msrooms import DOWNSTAIRS_SW, STAIR_DOWN, STAIR_UP, UPSTAIRS_NE, WALL
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_msrooms_rollout"]
 
@@ -33,13 +34,17 @@ def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
 def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
                                rows_per_tile: int = 128,
                                interpret: bool = False,
-                               episode_stats: bool = False):
+                               episode_stats: bool = False,
+                               rng_tape: bool = False):
     """Build ``run(seed, agent, goal) -> (agent', goal', reward_sums)``.
 
     ``agent``/``goal`` are flat zyx cell indices (``z*H*Wg + y*Wg + x``) laid
     out ``[num_envs // 128, 128]`` int32.
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     grid_np = env.grid_np  # [Z, H, Wg], codes {0 wall, 1 room, 2 down, 3 up}
@@ -90,10 +95,19 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
     goal_b = jnp.asarray(goal_bank_np)
     disp_b = jnp.asarray(_rows_bank(disp_flat.astype(np.int32), 0))
 
-    def kernel(seed_ref, a_ref, g_ref, cell_r, ab_r, gb_r, disp_r,
-               out_a, out_g, rew_ref, *stat_refs):
+    # draw sites per step, in body-trace order: a_cmd, fail coin, alt,
+    # goal respawn, agent respawn (fixed spawns consume no draw)
+    n_sites = 3 + (0 if fg_flat >= 0 else 1) + (0 if fa_flat >= 0 else 1)
+
+    def kernel(seed_ref, a_ref, g_ref, cell_r, ab_r, gb_r, disp_r, *refs):
+        refs = list(refs)
+        tape_ref = refs.pop(0) if rng_tape else None
+        out_a, out_g, rew_ref = refs[:3]
+        stat_refs = refs[3:]
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         # large-prime stride keeps tile streams disjoint across nearby seeds
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits, runiform = rng.rbits, rng.runiform
 
         def shuffle(lane_idx, row):
             return jnp.take_along_axis(
@@ -108,14 +122,6 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
                 out = jnp.where(row == r, shuffle(lane, bank_ref[r : r + 1, :]), out)
             return out
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def runiform():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
-
         def sample_goal_cell():
             if fg_flat >= 0:
                 return jnp.full((R, W), fg_flat, jnp.int32)
@@ -128,6 +134,7 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             agent, goal, elapsed, racc, stats = carry
+            rng.begin_step(step)
             a_cmd = rbits(A)
             fail = runiform() < jnp.float32(p_fail)
             alt = rbits(A - 1)
@@ -174,6 +181,7 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (a_ref[:], g_ref[:], zeros, zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         out_a[:] = agent
         out_g[:] = goal
         rew_ref[:] = racc
@@ -188,18 +196,31 @@ def make_fused_msrooms_rollout(env, num_envs: int, num_steps: int,
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
     n_extra = 3 if episode_stats else 0
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed, agent, goal):
+    def run(seed, agent, goal, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 2
-            + [tab] * 4,
+            + [tab] * 4
+            + tape_specs,
             out_specs=(spec,) * (3 + n_extra),
             out_shape=(i32, i32, f32) + (f32,) * n_extra,
-        )(seed, agent, goal, cell_b, agent_b, goal_b, disp_b)
+        )(seed, agent, goal, cell_b, agent_b, goal_b, disp_b, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run

@@ -30,6 +30,7 @@ from ..envs.rocksample import (
     GOOD_REWARD,
     ILLEGAL_SAMPLE_PENALTY,
 )
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_rocksample_rollout"]
 
@@ -39,13 +40,17 @@ W = 128
 def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
                                   rows_per_tile: int = 128,
                                   interpret: bool = False,
-                                  episode_stats: bool = False):
+                                  episode_stats: bool = False,
+                                  rng_tape: bool = False):
     """Build ``run(seed, pos, mask) -> (pos', mask', reward_sums)``.
 
     ``pos`` is the flat cell index and ``mask`` the rock-quality bitmask,
     both int32 ``[num_envs // 128, 128]``.
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     rows, cols, k = env.rows, env.cols, env.k
@@ -80,26 +85,28 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
     grid_n = num_envs // (R * W)
     full_mask = (1 << k) - 1
 
-    def kernel(seed_ref, pos_ref, mask_ref, ra_r, ry_r, rx_r,
-               out_pos, out_mask, rew_ref, *stat_refs):
+    # draw sites per step, in body-trace order: action, sensor uniform,
+    # reset rock-quality mask
+    n_sites = 3
+
+    def kernel(seed_ref, pos_ref, mask_ref, ra_r, ry_r, rx_r, *refs):
+        refs = list(refs)
+        tape_ref = refs.pop(0) if rng_tape else None
+        out_pos, out_mask, rew_ref = refs[:3]
+        stat_refs = refs[3:]
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         # large-prime stride keeps tile streams disjoint across nearby seeds
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits, runiform = rng.rbits, rng.runiform
 
         def shuffle(idx, row_ref):
             return jnp.take_along_axis(
                 jnp.broadcast_to(row_ref[:], (R, W)), idx, axis=1
             )
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def runiform():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
-
         def body(step, carry):
             pos, mask, elapsed, racc, stats = carry
+            rng.begin_step(step)
             a = rbits(n_actions)
             y = pos // cols
             x = pos % cols
@@ -168,6 +175,7 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (pos_ref[:], mask_ref[:], zi, zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         out_pos[:] = pos
         out_mask[:] = mask
         rew_ref[:] = racc
@@ -182,18 +190,31 @@ def make_fused_rocksample_rollout(env, num_envs: int, num_steps: int,
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
     n_extra = 3 if episode_stats else 0
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed, pos, mask):
+    def run(seed, pos, mask, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [spec] * 2
-            + [tab] * 3,
+            + [tab] * 3
+            + tape_specs,
             out_specs=(spec,) * (3 + n_extra),
             out_shape=(i32, i32, f32) + (f32,) * n_extra,
-        )(seed, pos, mask, rock_at_b, ry_b, rx_b)
+        )(seed, pos, mask, rock_at_b, ry_b, rx_b, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_rng import KernelRNG
+
 __all__ = ["make_fused_rooms_rollout"]
 
 W = 128
@@ -44,13 +46,17 @@ def _rows_bank(values: np.ndarray, fill: int) -> np.ndarray:
 def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
                              rows_per_tile: int = 128,
                              interpret: bool = False,
-                             episode_stats: bool = False):
+                             episode_stats: bool = False,
+                             rng_tape: bool = False):
     """Build ``run(seed, agent, goal) -> (agent', goal', reward_sums)``.
 
     ``agent``/``goal`` are flat cell indices laid out ``[num_envs//128, 128]``
     int32 (``state.agent_yx[:, 0] * grid_W + state.agent_yx[:, 1]``).
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     grid_np = env.grid_np
@@ -94,10 +100,21 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
     valid_b = jnp.asarray(valid_bank_np)
     disp_b = jnp.asarray(disp_bank_np)
 
-    def kernel(seed_ref, a_ref, g_ref, wall_r_, valid_r_, disp_r_,
-               out_a, out_g, rew_ref, *stat_refs):
+    # draw sites per step, in body-trace order: a_cmd, fail coin, alt,
+    # goal respawn, agent respawn (fixed spawns consume no draw)
+    n_sites = 3 + (0 if fixed_goal_flat >= 0 else 1) + (
+        0 if fixed_agent_flat >= 0 else 1
+    )
+
+    def kernel(seed_ref, a_ref, g_ref, wall_r_, valid_r_, disp_r_, *refs):
+        refs = list(refs)
+        tape_ref = refs.pop(0) if rng_tape else None
+        out_a, out_g, rew_ref = refs[:3]
+        stat_refs = refs[3:]
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         # large-prime stride keeps tile streams disjoint across nearby seeds
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits, runiform = rng.rbits, rng.runiform
 
         def shuffle(lane_idx, row):  # row: [1? n, W] -> broadcast one row
             return jnp.take_along_axis(
@@ -112,16 +129,6 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
                 out = jnp.where(row == r, shuffle(lane, bank_ref[r : r + 1, :]), out)
             return out
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def runiform():
-            # top 24 bits -> exact f32 in [0, 1); Mosaic can't cast uint32 to
-            # f32, so go through int32 (values < 2^24 stay non-negative)
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
-
         def sample_cell():
             if fixed_goal_flat >= 0:
                 return jnp.full((R, W), fixed_goal_flat, jnp.int32)
@@ -134,6 +141,7 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             agent, goal, elapsed, racc, stats = carry
+            rng.begin_step(step)
             a_cmd = rbits(A)
             # action failure from its generative process (== failure matrix)
             fail = runiform() < jnp.float32(p_fail)
@@ -177,6 +185,7 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (a_ref[:], g_ref[:], zeros, zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         out_a[:] = agent
         out_g[:] = goal
         rew_ref[:] = racc
@@ -191,22 +200,34 @@ def make_fused_rooms_rollout(env, num_envs: int, num_steps: int,
 
     n_extra = 3 if episode_stats else 0
     f32_out = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_spec = pl.BlockSpec((slab, W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    tape_specs = [tape_spec] if rng_tape else []
 
     @jax.jit
-    def run(seed: jax.Array, agent: jax.Array, goal: jax.Array):
+    def run(seed: jax.Array, agent: jax.Array, goal: jax.Array, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [state_spec] * 2
-            + [tab_spec] * 3,
+            + [tab_spec] * 3
+            + tape_specs,
             out_specs=(state_spec,) * (3 + n_extra),
             out_shape=(
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
                 f32_out,
             ) + (f32_out,) * n_extra,
-        )(seed, agent, goal, wall_b, valid_b, disp_b)
+        )(seed, agent, goal, wall_b, valid_b, disp_b, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run

@@ -36,6 +36,7 @@ from ..envs.tag_jax import (
     TAG_RADIUS,
     TARGET_STEP,
 )
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_tag_rollout", "make_fused_heavenhell_rollout"]
 
@@ -58,31 +59,34 @@ def _tiling(num_envs: int, rows_per_tile: int):
 def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
                            rows_per_tile: int = 128,
                            interpret: bool = False,
-                           episode_stats: bool = False):
+                           episode_stats: bool = False,
+                           rng_tape: bool = False):
     """Build ``run(seed, a0, a1, t0, t1) -> (a0', a1', t0', t1', reward_sums)``.
 
     All five arrays are f32 ``[num_envs // 128, 128]`` (agent xy, target xy
     component tiles; reward sums accumulated over ``num_steps``).
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     R, grid_n = _tiling(num_envs, rows_per_tile)
     speed = float(env.agent_speed)
     time_limit = int(env.time_limit)
+    # draw sites per step, in body-trace order: 2 agent-move uniforms, flee
+    # mode, respawn agent xy (2), respawn target candidates (8 x 2)
+    n_sites = 21
 
     def kernel(seed_ref, a0_r, a1_r, t0_r, t1_r, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         o_a0, o_a1, o_t0, o_t1, rew_ref = outs[:5]
         stat_refs = outs[5:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
-
-        def runiform():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits, runiform = rng.rbits, rng.runiform
 
         def rcage():
             return runiform() * jnp.float32(2 * CAGE) - jnp.float32(CAGE)
@@ -116,6 +120,7 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             a0, a1, t0, t1, elapsed, racc, stats = carry
+            rng.begin_step(step)
             # agent: clipped point-mass move under the uniform-random policy
             a0 = jnp.clip(a0 + (runiform() * 2.0 - 1.0) * speed, -CAGE, CAGE)
             a1 = jnp.clip(a1 + (runiform() * 2.0 - 1.0) * speed, -CAGE, CAGE)
@@ -169,6 +174,7 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
             (a0_r[:], a1_r[:], t0_r[:], t1_r[:], jnp.zeros((R, W), jnp.int32),
              zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         o_a0[:] = a0
         o_a1[:] = a1
         o_t0[:] = t0
@@ -182,31 +188,48 @@ def make_fused_tag_rollout(env, num_envs: int, num_steps: int,
     spec = pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((num_envs // W, W), jnp.float32)
     n_out = 5 + (3 if episode_stats else 0)
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed, a0, a1, t0, t1):
+    def run(seed, a0, a1, t0, t1, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 4
+            + tape_specs,
             out_specs=(spec,) * n_out,
             out_shape=(f32,) * n_out,
-        )(seed, a0, a1, t0, t1)
+        )(seed, a0, a1, t0, t1, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run
 
 
 def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
                                   rows_per_tile: int = 128,
                                   interpret: bool = False,
-                                  episode_stats: bool = False):
+                                  episode_stats: bool = False,
+                                  rng_tape: bool = False):
     """Build ``run(seed, x, y, heaven) -> (x', y', heaven', reward_sums)``.
 
     ``x``/``y``/``reward_sums`` are f32 tiles, ``heaven`` is an int32 tile
     (1 = heaven on the +x side this episode).
     ``episode_stats=True`` appends per-env completed-episode return/length
     sums and counts (in-kernel ``RecordEpisodeStatistics`` analogue).
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
     R, grid_n = _tiling(num_envs, rows_per_tile)
@@ -214,19 +237,21 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
     time_limit = int(env.time_limit)
     hx, hy = float(HH_SITES[0, 0]), float(HH_SITES[0, 1])  # heaven-left site
     r2 = float(HH_RADIUS**2)
+    # draw sites per step, in body-trace order: 2 move uniforms, respawn
+    # x/y uniforms, heaven coin
+    n_sites = 5
 
     def kernel(seed_ref, x_r, y_r, h_r, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         o_x, o_y, o_h, rew_ref = outs[:4]
         stat_refs = outs[4:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
-
-        def runiform():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0**-24)
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        runiform = rng.runiform
 
         def rbit():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u & 1).astype(jnp.int32)
+            return (rng.draw32() & 1).astype(jnp.int32)
 
         def in_free(x, y):
             stem = (x >= STEM[0]) & (x <= STEM[1]) & (y >= STEM[2]) & (y <= STEM[3])
@@ -235,6 +260,7 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             x, y, h, elapsed, racc, stats = carry
+            rng.begin_step(step)
             px = x + (runiform() * 2.0 - 1.0) * speed
             py = y + (runiform() * 2.0 - 1.0) * speed
             ok = in_free(px, py)
@@ -279,6 +305,7 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
             (x_r[:], y_r[:], h_r[:], jnp.zeros((R, W), jnp.int32),
              zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         o_x[:] = x
         o_y[:] = y
         o_h[:] = h
@@ -293,16 +320,29 @@ def make_fused_heavenhell_rollout(env, num_envs: int, num_steps: int,
     f32 = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows_total, W), jnp.int32)
     n_extra = 3 if episode_stats else 0
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed, x, y, h):
+    def run(seed, x, y, h, *tape):
+        if rng_tape and tuple(tape[0].shape) != (grid_n * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid_n * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid_n,),
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 3
+            + tape_specs,
             out_specs=(spec,) * (4 + n_extra),
             out_shape=(f32, f32, i32, f32) + (f32,) * n_extra,
-        )(seed, x, y, h)
+        )(seed, x, y, h, *tape)
 
+    run.tape_shape = (grid_n * slab, W)
+    run.n_sites = n_sites
     return run

@@ -36,6 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_rng import KernelRNG
+
 __all__ = ["make_fused_taxi_rollout", "state_policy_table"]
 
 W = 128  # lane width; also the padded width of every per-cell table
@@ -62,7 +64,8 @@ def state_policy_table(env, policy) -> np.ndarray:
 def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
                             rows_per_tile: int = 128, interpret: bool = False,
                             policy: Optional[np.ndarray] = None,
-                            episode_stats: bool = False):
+                            episode_stats: bool = False,
+                            rng_tape: bool = False):
     # CPU testing path: the TPU-specific primitives (prng_seed, dynamic
     # gather) need the TPU interpreter, not the generic one
     interpret_mode = pltpu.InterpretParams() if interpret else False
@@ -81,6 +84,10 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
     completed-episode count — the in-kernel analogue of the scan path's
     ``RecordEpisodeStatistics`` (mean episode return =
     ``ep_ret.sum() / ep_cnt.sum()``).
+
+    ``rng_tape=True`` makes ``run`` take a trailing int32 tape argument of
+    shape ``run.tape_shape`` replacing the hardware PRNG (see
+    :mod:`gym_po_tpu.ops.kernel_rng`) — the CPU-testable stochastic path.
     """
     t = env.tables
     nc = t.rows * t.cols
@@ -136,6 +143,11 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
         n_pol_rows = 0
         pol_tables = ()
 
+    # draw sites per step, in body-trace order: action (random policy only),
+    # task pn, task d0, full-reset cell (2 draws when every cell is
+    # navigable, else 1 bank draw), reset pr, reset dr0
+    n_sites = (1 if policy is None else 0) + 2 + (2 if all_valid else 1) + 2
+
     def kernel(seed_ref, s_ref, *refs):
         cm_refs = refs[: len(cm_tables)]
         rest = list(refs[len(cm_tables) :])
@@ -143,10 +155,13 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
         rest = rest[2:]
         if policy is not None:
             pol_r = rest.pop(0)
+        tape_ref = rest.pop(0) if rng_tape else None
         out_ref, rew_ref = rest[:2]
         stat_refs = rest[2:]  # (ep_ret, ep_len, ep_cnt) when episode_stats
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         # large-prime stride keeps tile streams disjoint across nearby seeds
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rng.seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        rbits = rng.rbits
         cm_b = [jnp.broadcast_to(r[:], (R, W)) for r in cm_refs]
         la_b = jnp.broadcast_to(la_r[:], (R, W))
         vc_b = jnp.broadcast_to(vc_r[:], (R, W))
@@ -154,12 +169,9 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
         def gather(idx, tab):  # native lane shuffle, idx in [0, W)
             return jnp.take_along_axis(tab, idx, axis=1)
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
         def body(step, carry):
             s, completed, elapsed, racc, stats = carry
+            rng.begin_step(step)
             if policy is None:
                 a = rbits(5)
             else:  # greedy action: lane shuffle per policy row bank
@@ -243,6 +255,7 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
             body,
             (s_ref[:], zeros, zeros, zf, (zf, zf, zf, zf)),
         )
+        rng.finalize(n_sites)
         out_ref[:] = s
         rew_ref[:] = racc
         if episode_stats:
@@ -256,20 +269,33 @@ def make_fused_taxi_rollout(env, num_envs: int, num_steps: int,
 
     n_out = 2 + (3 if episode_stats else 0)
     f32_out = jax.ShapeDtypeStruct((rows_total, W), jnp.float32)
+    slab = KernelRNG.tape_rows(n_sites, num_steps, R)
+    tape_specs = (
+        [pl.BlockSpec((slab, W), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        if rng_tape else []
+    )
 
     @jax.jit
-    def run(seed: jax.Array, s: jax.Array) -> Tuple[jax.Array, ...]:
+    def run(seed: jax.Array, s: jax.Array, *tape) -> Tuple[jax.Array, ...]:
+        if rng_tape and tuple(tape[0].shape) != (grid * slab, W):
+            raise ValueError(
+                f"rng tape must have shape {(grid * slab, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [state_spec]
-            + [tab_spec] * (len(cm_tables) + 2 + len(pol_tables)),
+            + [tab_spec] * (len(cm_tables) + 2 + len(pol_tables))
+            + tape_specs,
             out_specs=(state_spec,) * n_out,
             out_shape=(
                 jax.ShapeDtypeStruct((rows_total, W), jnp.int32),
             ) + (f32_out,) * (n_out - 1),
-        )(seed, s, *cm_tables, la, vc, *pol_tables)
+        )(seed, s, *cm_tables, la, vc, *pol_tables, *tape)
 
+    run.tape_shape = (grid * slab, W)
+    run.n_sites = n_sites
     return run
