@@ -33,13 +33,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_qlearning import NB, NSB, W, _first_argmax, _q_lookup
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_ac_trainer_rooms"]
 
 
 def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
                                 gamma: float = 0.99,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                rng_tape: bool = False):
     """Build ``run(seed, alpha_pi, alpha_v, theta, v, agent) ->
     (theta', v', agent', reward_sums)``.
 
@@ -113,10 +115,18 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
         raise ValueError("num_envs must be a multiple of 1024")
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: A gumbel uniforms, failure
+    # r24, alt action, agent respawn (fixed spawn: no draw)
+    n_sites = A + 2 + (0 if fixed_agent_flat >= 0 else 1)
+
     def kernel(seed_ref, api_ref, apv_ref, th_ref, v_ref, a_ref,
                wall_r_, valid_r_, obs_r_, disp_r_, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         th_out, v_out, a_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24 = rng.rbits, rng.r24
         api_v = api_ref[0]
         apv_v = apv_ref[0]
 
@@ -134,14 +144,6 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
                     row == r, shuffle(lane, bank_ref[r : r + 1, :]), out
                 )
             return out
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
 
         def gumbel():
             # strictly-interior uniform keeps the double log finite
@@ -203,6 +205,7 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             th, v, agent, elapsed, racc = carry
+            rng.begin_step(step)
             qidx = bank_gather(agent, obs_r_, n_obs_rows)
             logits = _q_lookup(th, qidx, R, A)
             # Gumbel-max sampling from the softmax policy
@@ -264,19 +267,28 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
             (th_ref[:], v_ref[:], a_ref[:], zeros,
              jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         th_out[:] = th
         v_out[:] = v
         a_out[:] = agent
         rew_ref[:] = racc
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
-    def run(seed, alpha_pi, alpha_v, theta, v, agent):
+    def run(seed, alpha_pi, alpha_v, theta, v, agent, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 7,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [vspec] * 7 + tape_specs,
             out_specs=(vspec,) * 4,
             out_shape=(
                 jax.ShapeDtypeStruct((NB, W), jnp.float32),
@@ -291,6 +303,8 @@ def make_fused_ac_trainer_rooms(env, num_envs: int, num_steps: int,
             ],
         )(seed, jnp.asarray(alpha_pi, jnp.float32).reshape(1),
           jnp.asarray(alpha_v, jnp.float32).reshape(1),
-          theta, v, agent, wall_b, valid_b, obs_b, disp_b)
+          theta, v, agent, wall_b, valid_b, obs_b, disp_b, *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run

@@ -36,6 +36,7 @@ from .fused_qlearning import (
     _q_lookup,
     bank_geometry,
 )
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_double_q_trainer"]
 
@@ -43,7 +44,8 @@ __all__ = ["make_fused_double_q_trainer"]
 def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
                                 gamma: float = 0.99,
                                 average_duplicates: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                rng_tape: bool = False):
     """Build ``run(seed, lr, epsilon, s, q2) -> (s', q2', reward_sums)``.
 
     ``q2`` is the stacked ``[2·nb, 128]`` pair of banked tables (A then B;
@@ -79,10 +81,18 @@ def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
     la = jnp.asarray(la_bank)
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: explore r24, random action,
+    # table coin, task pn, task d0, reset row, reset col, reset pr, reset dr0
+    n_sites = 9
+
     def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref,
                *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24 = rng.rbits, rng.r24
         lr_v = lr_ref[0]
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
         cm_b = jnp.broadcast_to(cm_ref[:], (R, W))
@@ -90,14 +100,6 @@ def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
 
         def gather(idx, tab):
             return jnp.take_along_axis(tab, idx, axis=1)
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
 
         def halves(q, s):
             """(vals_A, vals_B): per-action lookups in both stacked tables."""
@@ -114,6 +116,7 @@ def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             s, q, completed, elapsed, racc = carry
+            rng.begin_step(step)
             va, vb = halves(q, s)
             # behavior: eps-greedy on Q_A + Q_B
             greedy, _ = _first_argmax(
@@ -190,18 +193,27 @@ def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (s_ref[:], q_ref[:], zeros, zeros, jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         s_out[:] = s
         q_out[:] = q
         rew_ref[:] = racc
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
-    def run(seed, lr, epsilon, s, q2):
+    def run(seed, lr, epsilon, s, q2, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [vspec] * 4 + tape_specs,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
@@ -214,6 +226,8 @@ def make_fused_double_q_trainer(env, num_envs: int, num_steps: int,
                 pltpu.VMEM((R, W), jnp.float32),
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
-          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q2, cm, la)
+          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q2, cm, la, *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..envs.crooms import MAX_VELOCITY
 from .fused_qlearning import NB, NSB, W, _first_argmax, _mxu_scatter, _q_lookup
+from .kernel_rng import KernelRNG
 
 __all__ = ["make_fused_q_trainer_crooms"]
 
@@ -34,7 +35,8 @@ __all__ = ["make_fused_q_trainer_crooms"]
 def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
                                 gamma: float = 0.99,
                                 average_duplicates: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                rng_tape: bool = False):
     """Build ``run(seed, lr, epsilon, py, px, vy, vx, q) ->
     (py', px', vy', vx', q', reward_sums)``.
 
@@ -127,10 +129,20 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
         raise ValueError("num_envs must be a multiple of 1024")
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: explore r24, random action,
+    # failure r24, alt action, ay/ax normals (2 each), wall-resample ry/rx
+    # normals (2 each), agent respawn (fixed spawn: no draw)
+    n_sites = 12 + (0 if fa is not None else 1)
+
     def kernel(seed_ref, lr_ref, eps_ref, py_r, px_r, vy_r, vx_r, q_ref,
                wall_r_, valid_r_, obs_r_, dy_r, dx_r, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         o_py, o_px, o_vy, o_vx, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24, runiform, rnormal = (rng.rbits, rng.r24, rng.runiform,
+                                         rng.rnormal)
         lr_v = lr_ref[0]
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
 
@@ -148,24 +160,6 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
                     row == r, shuffle(lane, bank_ref[r : r + 1, :]), out
                 )
             return out
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
-
-        def runiform():
-            return r24().astype(jnp.float32) * jnp.float32(2.0**-24)
-
-        def rnormal():
-            u1 = jnp.maximum(runiform(), jnp.float32(1e-12))
-            u2 = runiform()
-            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-                jnp.float32(2.0 * np.pi) * u2
-            )
 
         def cell_of(y, x):
             cyi = jnp.floor(y / cs).astype(jnp.int32)
@@ -187,6 +181,7 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             py, px, vy, vx, q, elapsed, racc = carry
+            rng.begin_step(step)
             qidx = bank_gather(cell_of(py, px), obs_r_, n_obs_rows)
             vals = _q_lookup(q, qidx, R, A)
             greedy, _ = _first_argmax(vals, R)
@@ -264,6 +259,7 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
             (py_r[:], px_r[:], vy_r[:], vx_r[:], q_ref[:], zi,
              jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         o_py[:] = py
         o_px[:] = px
         o_vy[:] = vy
@@ -273,14 +269,21 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((R, W), jnp.float32)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
-    def run(seed, lr, epsilon, py, px, vy, vx, q):
+    def run(seed, lr, epsilon, py, px, vy, vx, q, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-            + [vspec] * 10,
+            + [vspec] * 10 + tape_specs,
             out_specs=(vspec,) * 6,
             out_shape=(
                 f32, f32, f32, f32,
@@ -294,6 +297,8 @@ def make_fused_q_trainer_crooms(env, num_envs: int, num_steps: int,
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1),
-          py, px, vy, vx, q, wall_b, valid_b, obs_b, dy_b, dx_b)
+          py, px, vy, vx, q, wall_b, valid_b, obs_b, dy_b, dx_b, *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run

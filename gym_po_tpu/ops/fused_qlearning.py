@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_rng import KernelRNG
+
 __all__ = [
     "make_fused_q_trainer",
     "make_fused_q_trainer_rooms",
@@ -145,7 +147,8 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                          gamma: float = 0.99,
                          average_duplicates: bool = False,
                          expected_sarsa: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         rng_tape: bool = False):
     """Build ``run(seed, lr, epsilon, s, q) -> (s', q', reward_sums)``.
 
     ``expected_sarsa=True`` swaps the off-policy max-bootstrap for the
@@ -227,10 +230,19 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
 
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: explore r24, random action,
+    # task pn, task d0, full-reset cell (2 draws when all cells navigable,
+    # else 1), reset pr, reset dr0
+    n_sites = 6 + (2 if all_valid else 1)
+
     def kernel(seed_ref, lr_ref, eps_ref, s_ref, q_ref, cm_ref, la_ref,
                hc_ref, vc_ref, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24 = rng.rbits, rng.r24
         lr_v = lr_ref[0]
         # epsilon compares against raw 24-bit uniform draws
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
@@ -240,14 +252,6 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
 
         def gather(idx, tab):
             return jnp.take_along_axis(tab, idx, axis=1)
-
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
 
         def qvals(q, s):
             return _q_lookup(q, s, R, 5, nsb)
@@ -268,6 +272,7 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             s, q, completed, elapsed, racc = carry
+            rng.begin_step(step)
             qidx = obs_of(s)
             vals = qvals(q, qidx)
             greedy, _ = argmax5(vals)
@@ -371,19 +376,28 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (s_ref[:], q_ref[:], zeros, zeros, jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         s_out[:] = s
         q_out[:] = q
         rew_ref[:] = racc
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
     def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
-            s: jax.Array, q: jax.Array):
+            s: jax.Array, q: jax.Array, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [vspec] * 6 + tape_specs,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
@@ -396,15 +410,19 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                 pltpu.VMEM((R, W), jnp.float32),
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
-          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc, vc)
+          jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc, vc,
+          *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run
 
 
 def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
                                gamma: float = 0.99,
                                average_duplicates: bool = False,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               rng_tape: bool = False):
     """In-kernel tabular Q-learning for :class:`Rooms` (fixed goal).
 
     Same contract as :func:`make_fused_q_trainer` —
@@ -487,10 +505,18 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
         raise ValueError("num_envs must be a multiple of 1024")
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: explore r24, random action,
+    # failure r24, alt action, agent respawn (fixed spawn: no draw)
+    n_sites = 4 + (0 if fixed_agent_flat >= 0 else 1)
+
     def kernel(seed_ref, lr_ref, eps_ref, a_ref, q_ref,
                wall_r_, valid_r_, obs_r_, disp_r_, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         a_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24 = rng.rbits, rng.r24
         lr_v = lr_ref[0]
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
 
@@ -509,14 +535,6 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
                 )
             return out
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
-
         def sample_agent():
             if fixed_agent_flat >= 0:
                 return jnp.full((R, W), fixed_agent_flat, jnp.int32)
@@ -524,6 +542,7 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
 
         def body(step, carry):
             agent, q, elapsed, racc = carry
+            rng.begin_step(step)
             qidx = bank_gather(agent, obs_r_, n_obs_rows)
             vals = _q_lookup(q, qidx, R, A)
             greedy, _ = _first_argmax(vals, R)
@@ -573,19 +592,28 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (a_ref[:], q_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         a_out[:] = agent
         q_out[:] = q
         rew_ref[:] = racc
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
     def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
-            agent: jax.Array, q: jax.Array):
+            agent: jax.Array, q: jax.Array, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [vspec] * 6 + tape_specs,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
@@ -599,15 +627,18 @@ def make_fused_q_trainer_rooms(env, num_envs: int, num_steps: int,
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1), agent, q,
-          wall_b, valid_b, obs_b, disp_b)
+          wall_b, valid_b, obs_b, disp_b, *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run
 
 
 def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
                                  gamma: float = 0.99,
                                  average_duplicates: bool = False,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 rng_tape: bool = False):
     """In-kernel tabular Q-learning for :class:`MultistoryFourRooms`.
 
     Same contract as :func:`make_fused_q_trainer_rooms` with the flat zyx
@@ -689,10 +720,18 @@ def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
         raise ValueError("num_envs must be a multiple of 1024")
     gamma_f = float(gamma)
 
+    # draw sites per step, in body-trace order: explore r24, random action,
+    # failure r24, alt action, agent respawn
+    n_sites = 5
+
     def kernel(seed_ref, lr_ref, eps_ref, a_ref, q_ref,
                cell_r, agent_r, obs_r, disp_r, *outs):
+        outs = list(outs)
+        tape_ref = outs.pop(0) if rng_tape else None
         a_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
-        pltpu.prng_seed(seed_ref[0])
+        rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
+        rng.seed(seed_ref[0])
+        rbits, r24 = rng.rbits, rng.r24
         lr_v = lr_ref[0]
         eps24 = (eps_ref[0] * jnp.float32(1 << 24)).astype(jnp.int32)
 
@@ -711,16 +750,9 @@ def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
                 )
             return out
 
-        def rbits(n):
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32)
-            return (u % n).astype(jnp.int32)
-
-        def r24():
-            u = pltpu.prng_random_bits((R, W)).astype(jnp.uint32) >> 8
-            return u.astype(jnp.int32)
-
         def body(step, carry):
             agent, q, elapsed, racc = carry
+            rng.begin_step(step)
             qidx = bank_gather(agent, obs_r, n_obs_rows)
             vals = _q_lookup(q, qidx, R, A)
             greedy, _ = _first_argmax(vals, R)
@@ -776,19 +808,28 @@ def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
             0, num_steps, body,
             (a_ref[:], q_ref[:], zeros, jnp.zeros((R, W), jnp.float32)),
         )
+        rng.finalize(n_sites)
         a_out[:] = agent
         q_out[:] = q
         rew_ref[:] = racc
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tape_specs = [vspec] if rng_tape else []
+    tape_rows = KernelRNG.tape_rows(n_sites, num_steps, R)
 
     @jax.jit
     def run(seed: jax.Array, lr: jax.Array, epsilon: jax.Array,
-            agent: jax.Array, q: jax.Array):
+            agent: jax.Array, q: jax.Array, *tape):
+        if rng_tape and tuple(tape[0].shape) != (tape_rows, W):
+            raise ValueError(
+                f"rng tape must have shape {(tape_rows, W)}, got "
+                f"{tuple(tape[0].shape)}"
+            )
         return pl.pallas_call(
             kernel,
             interpret=interpret_mode,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3 + [vspec] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+            + [vspec] * 6 + tape_specs,
             out_specs=(vspec, vspec, vspec),
             out_shape=(
                 jax.ShapeDtypeStruct((R, W), jnp.int32),
@@ -802,8 +843,10 @@ def make_fused_q_trainer_msrooms(env, num_envs: int, num_steps: int,
             ],
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1), agent, q,
-          cell_b, agent_b, obs_b, disp_b)
+          cell_b, agent_b, obs_b, disp_b, *tape)
 
+    run.tape_shape = (tape_rows, W)
+    run.n_sites = n_sites
     return run
 
 

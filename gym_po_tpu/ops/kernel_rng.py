@@ -104,6 +104,10 @@ class KernelRNG:
         """Uniform int32 in [0, n) — ``u % n`` (bias <= n/2^32, negligible)."""
         return (self.draw32() % n).astype(jnp.int32)
 
+    def r24(self):
+        """Uniform int32 in [0, 2^24) — the trainers' epsilon comparand."""
+        return (self.draw32() >> 8).astype(jnp.int32)
+
     def runiform(self):
         """Exact f32 in [0, 1) from the top 24 bits.
 
