@@ -290,6 +290,9 @@ def fused_q_learning(
     q_init: np.ndarray | None = None,
     average_duplicates: bool = True,
     expected_sarsa: bool = False,
+    lam: float = 0.0,
+    trace_len: int = 8,
+    watkins_cut: bool = True,
     interpret: bool = False,
     mesh=None,
     chunk_trainer: str = "pallas",
@@ -309,6 +312,11 @@ def fused_q_learning(
     :class:`~gym_po_tpu.envs.msrooms.MultistoryFourRooms`, and the
     continuous-state :class:`~gym_po_tpu.envs.crooms.CRooms` with a
     discrete action type (fixed goal, any discrete obs model).
+
+    ``lam > 0`` (Rooms only) switches to in-kernel **Watkins Q(λ)**
+    (:func:`~gym_po_tpu.ops.fused_qlambda.make_fused_qlambda_trainer_rooms`):
+    truncated backward-view eligibility traces over the last ``trace_len``
+    visited pairs, cut at non-greedy actions unless ``watkins_cut=False``.
 
     **Multi-chip**: pass ``mesh`` (a 1-D ``('data',)``
     :class:`jax.sharding.Mesh`) to run the chunk-synchronous data-parallel
@@ -347,6 +355,8 @@ def fused_q_learning(
 
     if expected_sarsa and not isinstance(env, Taxi):
         raise ValueError("expected_sarsa is currently taxi-only")
+    if lam > 0.0 and not isinstance(env, Rooms):
+        raise ValueError("lam > 0 (Watkins Q(λ)) is currently Rooms-only")
     if chunk_trainer not in ("pallas", "xla"):
         raise ValueError(f"unknown chunk_trainer {chunk_trainer!r}")
     if chunk_trainer == "xla" and not isinstance(env, Taxi):
@@ -411,7 +421,19 @@ def fused_q_learning(
         n_act = 5
         state0 = np.asarray(st.s)
     elif isinstance(env, Rooms):
-        make, n_act = make_fused_q_trainer_rooms, int(env.num_actions)
+        if lam > 0.0:
+            from ..ops import make_fused_qlambda_trainer_rooms
+
+            def make(env, B, K, g, average_duplicates, interpret):
+                return make_fused_qlambda_trainer_rooms(
+                    env, B, K, g, lam=lam, trace_len=trace_len,
+                    watkins_cut=watkins_cut,
+                    average_duplicates=average_duplicates,
+                    interpret=interpret,
+                )
+        else:
+            make = make_fused_q_trainer_rooms
+        n_act = int(env.num_actions)
         GW = env.grid_np.shape[1]
         a = np.asarray(st.agent_yx)
         state0 = a[:, 0] * GW + a[:, 1]

@@ -11,6 +11,7 @@ from .fused_crooms import make_fused_crooms_rollout
 from .fused_msrooms import make_fused_msrooms_rollout
 from .fused_double_q import make_fused_double_q_trainer
 from .fused_q_crooms import make_fused_q_trainer_crooms
+from .fused_qlambda import make_fused_qlambda_trainer_rooms
 from .fused_rocksample import make_fused_rocksample_rollout
 from .fused_rooms import make_fused_rooms_rollout
 from .fused_qlearning import (
@@ -42,6 +43,7 @@ __all__ = [
     "make_fused_ac_trainer_rooms",
     "make_fused_q_trainer_crooms",
     "make_fused_double_q_trainer",
+    "make_fused_qlambda_trainer_rooms",
     "q_to_banks",
     "banks_to_q",
 ]
