@@ -1,0 +1,335 @@
+"""Collision detection + soft-constraint solver (MuJoCo model, TPU solve).
+
+Replicates MuJoCo's constraint pipeline for the ant arenas (the substrate
+under reference ``gym_po/envs/ant_tag.py:138-158``), reverse-engineered
+against ``mjData.efc_*`` and validated row-for-row in
+``tests/test_physics_contact.py``:
+
+* **Candidates** (static shapes, no dynamic contact lists):
+  - floor: the torso sphere + both endpoint spheres of each leg capsule vs
+    the z=0 plane — exactly MuJoCo's plane-capsule/plane-sphere contacts,
+    25 candidates;
+  - walls: every endpoint sphere vs each axis-aligned wall box
+    (sphere-vs-box closest point).  MuJoCo runs a full capsule-box collider
+    here; the endpoint approximation changes side-on wall scrapes slightly
+    but is exact for end-on contact (documented divergence).
+* **Top-K slots**: candidates are ranked by signed distance and the K
+  deepest become constraint slots; rows with ``dist ≥ margin`` are masked
+  (force pinned to 0), matching MuJoCo's inclusion rule while keeping XLA
+  shapes static.
+* **Soft constraints**: per row, impedance d(pos) from solimp, and
+  ``aref = -B·vel - K·d·(pos - margin)`` with
+  ``tc_eff = max(solref[0], 2·dt)``, ``B = 2/(dmax·tc_eff)``,
+  ``K = 1/(dmax²·tc_eff²·dampratio²)``, ``R = (1-d)/d · diagApprox`` where
+  ``diagApprox = 2μ²(1+μ²)·Σ body_invweight0`` for pyramidal contact rows
+  and ``dof_invweight0`` for joint limits (all verified against efc_KBIP /
+  efc_R to 1e-6).
+* **Solver**: the dual convex QP ``min_{f≥0} ½fᵀ(A+R)f + fᵀ(J·qacc_smooth −
+  aref)`` solved with fixed-iteration APGD (Nesterov projected gradient):
+  every operation is a batched matmul/matvec — no sequential Gauss-Seidel
+  sweep, which is the TPU-native replacement for MuJoCo's Newton solver
+  (same QP, same fixed point).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ant_model import AntModel
+from .dynamics import Kinematics, point_jacobian
+
+__all__ = ["constraint_rows", "solve_constraints", "ConstraintRows",
+           "NUM_CONTACT_SLOTS"]
+
+NUM_CONTACT_SLOTS = 24
+_MINIMP, _MAXIMP = 1e-4, 0.9999
+
+
+class ConstraintRows(NamedTuple):
+    jac: jnp.ndarray    # [ne, nv]
+    aref: jnp.ndarray   # [ne]
+    r: jnp.ndarray      # [ne] regularizer
+    active: jnp.ndarray  # [ne] {0,1}
+
+
+def _impedance(model: AntModel, violation: jnp.ndarray) -> jnp.ndarray:
+    """MuJoCo solimp sigmoid d(x); ``violation`` = pos - margin (≤ 0 when
+    the constraint is engaged deeper)."""
+    d0, dmax, width, mid, power = model.solimp
+    x = jnp.clip(jnp.abs(violation) / width, 0.0, 1.0)
+    a = 1.0 / mid ** (power - 1.0)
+    b = 1.0 / (1.0 - mid) ** (power - 1.0)
+    y = jnp.where(
+        x <= mid, a * x**power, 1.0 - b * (1.0 - x) ** power
+    )
+    return jnp.clip(d0 + y * (dmax - d0), _MINIMP, _MAXIMP)
+
+
+def _kb(model: AntModel):
+    dmax = model.solimp[1]
+    tc = max(model.solref[0], 2.0 * model.dt)
+    dr = model.solref[1]
+    k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+    b = 2.0 / (dmax * tc)
+    return k, b
+
+
+def _sphere_centers(model: AntModel, kin: Kinematics):
+    """World centers of the 25 collision spheres (torso + 2 per capsule) →
+    (centers [ns,3], bodies [ns], radii [ns], world axes [ns,3],
+    is_sphere [ns]).  Geom 0 is the torso sphere; geoms 1.. are capsules."""
+    dtype = kin.xpos.dtype
+    gb = jnp.asarray(model.geom_body)
+    gpos = jnp.asarray(model.geom_pos, dtype=dtype)
+    gaxis = jnp.asarray(model.geom_axis, dtype=dtype)
+    gh = jnp.asarray(model.geom_h, dtype=dtype)
+    R = kin.xmat[gb]                                   # [ng,3,3]
+    center = kin.xpos[gb] + jnp.einsum("gij,gj->gi", R, gpos)
+    axis_w = jnp.einsum("gij,gj->gi", R, gaxis)        # [ng,3]
+    ends = jnp.stack(
+        [center - gh[:, None] * axis_w, center + gh[:, None] * axis_w], 1
+    )                                                  # [ng,2,3]
+    pts = jnp.concatenate([center[0:1], ends[1:].reshape(-1, 3)])
+    two = lambda v: jnp.concatenate([v[0:1], jnp.repeat(v[1:], 2, axis=0)])
+    bodies = two(jnp.asarray(model.geom_body, dtype=jnp.int32))
+    radii = two(jnp.asarray(model.geom_r, dtype=dtype))
+    axes = two(axis_w)
+    is_sphere = jnp.zeros((pts.shape[0],), bool).at[0].set(True)
+    return pts, bodies, radii, axes, is_sphere
+
+
+def _make_frame(n: jnp.ndarray):
+    """MuJoCo ``mju_makeFrame``: t = ŷ if |n_y| < 0.5 else ẑ, orthogonalize."""
+    dtype = n.dtype
+    t = jnp.where(
+        jnp.abs(n[..., 1:2]) < 0.5,
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    )
+    t1 = t - n * jnp.sum(n * t, -1, keepdims=True)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    return t1, jnp.cross(n, t1)
+
+
+def _capsule_plane_frame(axis_w: jnp.ndarray, n: jnp.ndarray):
+    """MuJoCo plane-capsule tangent: t1 = -normalize(axis projected onto the
+    plane); falls back to mju_makeFrame when the axis is ⟂ to the plane."""
+    proj = axis_w - n * jnp.sum(axis_w * n, -1, keepdims=True)
+    nrm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    mf_t1, _ = _make_frame(n)
+    t1 = jnp.where(nrm > 1e-8, -proj / jnp.where(nrm > 1e-8, nrm, 1.0), mf_t1)
+    return t1, jnp.cross(n, t1)
+
+
+def contact_candidates(model: AntModel, kin: Kinematics):
+    """All candidate contacts → (pos [nc,3], dist [nc], n/t1/t2 [nc,3],
+    body [nc], invweight [nc]).  nc = 25 + 25·n_walls, static."""
+    dtype = kin.xpos.dtype
+    c, bodies, r, axes, is_sphere = _sphere_centers(model, kin)
+    ns = c.shape[0]
+    inv0 = jnp.asarray(_body_invweight(model), dtype=dtype)[bodies]
+
+    # floor plane z=0
+    zhat = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), (ns, 3))
+    dist_f = c[:, 2] - r
+    pos_f = c - zhat * (r + dist_f / 2.0)[:, None]
+    mt1, mt2 = _make_frame(zhat)
+    ct1, ct2 = _capsule_plane_frame(axes, zhat)
+    t1_f = jnp.where(is_sphere[:, None], mt1, ct1)
+    t2_f = jnp.where(is_sphere[:, None], mt2, ct2)
+
+    # walls: sphere vs axis-aligned box, [nw, ns] broadcast
+    walls = jnp.asarray(np.asarray(model.walls), dtype=dtype)
+    wc, wh = walls[:, None, :3], walls[:, None, 3:]
+    cp = jnp.clip(c[None], wc - wh, wc + wh)
+    delta = c[None] - cp
+    dn = jnp.linalg.norm(delta, axis=-1)
+    safe = dn > 1e-9
+    n_w = jnp.where(
+        safe[..., None], delta / jnp.where(safe, dn, 1.0)[..., None],
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+    )
+    dist_w = jnp.where(safe, dn - r[None], -r[None])
+    pos_w = c[None] - n_w * (r[None] + dist_w / 2.0)[..., None]
+    t1_w, t2_w = _make_frame(n_w)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return (
+        jnp.concatenate([pos_f, flat(pos_w)]),
+        jnp.concatenate([dist_f, flat(dist_w)]),
+        jnp.concatenate([zhat, flat(n_w)]),
+        jnp.concatenate([t1_f, flat(t1_w)]),
+        jnp.concatenate([t2_f, flat(t2_w)]),
+        jnp.concatenate([bodies, jnp.tile(bodies, walls.shape[0])]),
+        jnp.concatenate([inv0, jnp.tile(inv0, walls.shape[0])]),
+    )
+
+
+_INVWEIGHT_CACHE: dict = {}
+
+
+def _qpos0_jacobians(model: AntModel):
+    """NumPy CoM Jacobians + mass matrix at qpos0 (identity rotations), f64.
+
+    Used only for the one-time invweight precomputation so it is exact
+    regardless of the session's JAX x64 mode (MuJoCo precomputes
+    ``*_invweight0`` at f64; R-parity tests compare at 1e-12)."""
+    nb, nv = model.nb, model.nv
+    xpos = np.zeros((nb, 3))
+    for b in range(1, nb):
+        xpos[b] = xpos[model.parent[b]] + model.body_pos[b]
+    com = xpos + model.body_ipos
+    u = np.zeros((nv, 3))
+    p = np.zeros((nv, 3))
+    u[3:6] = np.eye(3)
+    u[model.jnt_dof] = model.jnt_axis
+    p[model.jnt_dof] = xpos[model.jnt_body]
+    jp = np.zeros((nb, nv, 3))
+    jr = np.zeros((nb, nv, 3))
+    for b in range(nb):
+        for d in range(nv):
+            if not model.dof_mask[b, d]:
+                continue
+            if d < 3:
+                jp[b, d, d] = 1.0
+            else:
+                jp[b, d] = np.cross(u[d], com[b] - p[d])
+                jr[b, d] = u[d]
+    M = (
+        np.einsum("b,bdi,bei->de", model.body_mass, jp, jp)
+        + np.einsum("bdi,bij,bej->de", jr, model.body_inertia, jr)
+        + np.diag(model.armature)
+    )
+    return jp, M
+
+
+def _body_invweight(model: AntModel) -> np.ndarray:
+    """MuJoCo ``body_invweight0``: mean translational inverse inertia of each
+    body at qpos0, diag(J M⁻¹ Jᵀ)/3 at the body CoM."""
+    key = id(model)
+    if key not in _INVWEIGHT_CACHE:
+        jp, M = _qpos0_jacobians(model)
+        minv = np.linalg.inv(M)
+        _INVWEIGHT_CACHE[key] = np.einsum("bdi,de,bei->b", jp, minv, jp) / 3.0
+    return _INVWEIGHT_CACHE[key]
+
+
+def constraint_rows(model: AntModel, kin: Kinematics, qpos, qvel,
+                    num_slots: int = NUM_CONTACT_SLOTS) -> ConstraintRows:
+    """Assemble limit + contact pyramid rows at the current state."""
+    dtype = qpos.dtype
+    k_stiff, b_damp = _kb(model)
+    margin = 2.0 * model.margin   # pair margin = sum of geom margins
+
+    # ---- joint limit rows (8, one per hinge; nearer bound) ----
+    q = qpos[model.jnt_qpos]
+    lo = jnp.asarray(model.jnt_range[:, 0], dtype)
+    hi = jnp.asarray(model.jnt_range[:, 1], dtype)
+    d_lo, d_hi = q - lo, hi - q
+    lower = d_lo <= d_hi
+    pos_lim = jnp.where(lower, d_lo, d_hi)
+    sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+    jac_lim = jnp.zeros((8, model.nv), dtype)
+    jac_lim = jac_lim.at[jnp.arange(8), model.jnt_dof].set(sign)
+    active_lim = (pos_lim < 0.0).astype(dtype)
+    imp_lim = _impedance(model, pos_lim)
+    vel_lim = jac_lim @ qvel
+    aref_lim = -b_damp * vel_lim - k_stiff * imp_lim * pos_lim
+    r_lim = (1.0 - imp_lim) / imp_lim * jnp.asarray(
+        _dof_invweight(model), dtype
+    )[model.jnt_dof]
+
+    # ---- contacts: rank candidates, keep top-K ----
+    cpos, cdist, cn, ct1, ct2, cbody, ciw = contact_candidates(model, kin)
+    k = min(num_slots, cdist.shape[0])
+    _, idx = jax.lax.top_k(-cdist, k)
+    pos, dist = cpos[idx], cdist[idx]
+    n, t1, t2 = cn[idx], ct1[idx], ct2[idx]
+    body, iw = cbody[idx], ciw[idx]
+    active_c = (dist < margin).astype(dtype)
+
+    jp = point_jacobian(model, kin, body, pos)          # [k,nv,3]
+    jn = jnp.einsum("kvi,ki->kv", jp, n)
+    jt1 = jnp.einsum("kvi,ki->kv", jp, t1)
+    jt2 = jnp.einsum("kvi,ki->kv", jp, t2)
+    mu = model.friction
+    rows = jnp.stack(
+        [jn + mu * jt1, jn - mu * jt1, jn + mu * jt2, jn - mu * jt2], 1
+    ).reshape(4 * k, model.nv)                          # [4k,nv]
+
+    violation = dist - margin
+    imp = _impedance(model, violation)
+    vel = rows @ qvel
+    aref = -b_damp * vel - jnp.repeat(k_stiff * imp * violation, 4)
+    diag_a = 2.0 * mu * mu * (1.0 + mu * mu) * iw       # world invweight = 0
+    r_c = jnp.repeat((1.0 - imp) / imp * diag_a, 4)
+    active = jnp.concatenate([active_lim, jnp.repeat(active_c, 4)])
+
+    return ConstraintRows(
+        jac=jnp.concatenate([jac_lim, rows]),
+        aref=jnp.concatenate([aref_lim, aref]),
+        r=jnp.concatenate([r_lim, r_c]),
+        active=active,
+    )
+
+
+_DOF_INVWEIGHT_CACHE: dict = {}
+
+
+def _dof_invweight(model: AntModel) -> np.ndarray:
+    """MuJoCo ``dof_invweight0``: diag(M⁻¹) at qpos0, with the free joint's
+    translation and rotation triplets each averaged."""
+    key = id(model)
+    if key not in _DOF_INVWEIGHT_CACHE:
+        _, M = _qpos0_jacobians(model)
+        w = np.diag(np.linalg.inv(M)).copy()
+        w[0:3] = w[0:3].mean()
+        w[3:6] = w[3:6].mean()
+        _DOF_INVWEIGHT_CACHE[key] = w
+    return _DOF_INVWEIGHT_CACHE[key]
+
+
+def solve_constraints(model: AntModel, M, qacc_smooth, rows: ConstraintRows,
+                      iters: int = 250, f0=None):
+    """APGD on the dual QP → (qacc, f).
+
+    ``min_{f≥0} ½fᵀ(A+R)f + fᵀ(J·qacc_smooth − aref)`` with
+    ``A = J M⁻¹ Jᵀ``; then ``qacc = qacc_smooth + M⁻¹Jᵀf``.  Inactive rows
+    are pinned to f=0 by projection.  Fixed iteration count; the step size
+    uses the ∞-norm upper bound on λmax(A+R), and Nesterov momentum is
+    restarted on non-monotone steps (gradient-mapping test).
+    """
+    j = rows.jac
+    # X = M⁻¹ Jᵀ via Cholesky (M is SPD)
+    chol = jax.scipy.linalg.cho_factor(M)
+    x = jax.scipy.linalg.cho_solve(chol, j.T)           # [nv,ne]
+    a = j @ x                                           # [ne,ne]
+    b = j @ qacc_smooth - rows.aref
+    ar = a + jnp.diag(rows.r)
+    lip = jnp.max(jnp.sum(jnp.abs(ar), axis=1))
+    step = 1.0 / lip
+    mask = rows.active
+
+    def proj(f):
+        return jnp.maximum(f * mask, 0.0)
+
+    def body(_, carry):
+        f, y, t = carry
+        g = ar @ y + b
+        f_new = proj(y - step * g)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        # restart momentum if progress reverses (Beck-Teboulle heuristic)
+        restart = jnp.sum((y - f_new) * (f_new - f)) > 0.0
+        t_new = jnp.where(restart, 1.0, t_new)
+        y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
+        y_new = jnp.where(restart, f_new, y_new)
+        return f_new, y_new, t_new
+
+    f0 = proj(jnp.zeros_like(b) if f0 is None else f0)
+    f, _, _ = jax.lax.fori_loop(0, iters, body, (f0, f0, jnp.ones((), b.dtype)))
+    qacc = qacc_smooth + x @ f
+    return qacc, f

@@ -1,0 +1,152 @@
+"""Oracle tests for the constraint layer + integrator vs MuJoCo.
+
+The soft-constraint model (impedance, K/B, R regularizers, pyramidal rows)
+was reverse-engineered from ``mjData.efc_*``; these tests pin every piece
+row-for-row, then check the full fixed point (qacc) and multi-step RK4
+trajectories against ``mj_step``.  Reference substrate:
+``gym_po/envs/ant_tag.py:138-158`` (MuJoCo C driving the same MJCF).
+"""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+import jax
+import jax.numpy as jnp
+
+from gym_po_tpu.envs.mjcf import ant_tag_xml
+from gym_po_tpu.physics import ant_model as am
+from gym_po_tpu.physics import contact as con
+from gym_po_tpu.physics import dynamics as dyn
+from gym_po_tpu.physics import engine as eng
+
+STAND = np.zeros(15)
+STAND[2] = 0.55
+STAND[3] = 1.0
+STAND[7:] = [0.0, 1.0, 0.0, -1.0, 0.0, -1.0, 0.0, 1.0]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    m = mujoco.MjModel.from_xml_string(ant_tag_xml())
+    return m, mujoco.MjData(m), am.make_ant_model(am.TAG_WALLS)
+
+
+def test_invweights_match_mujoco(oracle):
+    m, _, mdl = oracle
+    np.testing.assert_allclose(
+        con._body_invweight(mdl), m.body_invweight0[1:14, 0], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        con._dof_invweight(mdl), m.dof_invweight0, atol=1e-12
+    )
+
+
+def _active_rows(rows):
+    act = np.asarray(rows.active).astype(bool)
+    return (np.asarray(rows.jac)[act], np.asarray(rows.aref)[act],
+            np.asarray(rows.r)[act], act)
+
+
+def _match_rows(my_j, mj_j):
+    """Permutation aligning my active rows with MuJoCo's efc rows."""
+    perm = []
+    for i in range(mj_j.shape[0]):
+        perm.append(int(np.argmin(np.abs(my_j - mj_j[i]).max(axis=1))))
+    assert len(set(perm)) == mj_j.shape[0], "rows not 1:1"
+    return np.asarray(perm)
+
+
+def test_contact_rows_exact(oracle):
+    """Standing pose, 4 foot contacts: J / aref / R match efc_* to 1e-10."""
+    m, d, mdl = oracle
+    with jax.enable_x64(True):
+        d.qpos[:] = STAND
+        d.qvel[:] = 0.1 * np.arange(14)
+        d.ctrl[:] = 0.3
+        mujoco.mj_forward(m, d)
+        assert d.nefc == 16
+
+        kin, M, qacc_s, _ = dyn.smooth_forward(
+            mdl, jnp.array(d.qpos), jnp.array(d.qvel), jnp.array(d.ctrl)
+        )
+        rows = con.constraint_rows(mdl, kin, jnp.array(d.qpos),
+                                   jnp.array(d.qvel))
+        my_j, my_aref, my_r, act = _active_rows(rows)
+        assert act.sum() == d.nefc
+        mj_j = d.efc_J.reshape(d.nefc, 14)
+        perm = _match_rows(my_j, mj_j)
+        np.testing.assert_allclose(my_j[perm], mj_j, atol=1e-12)
+        np.testing.assert_allclose(my_aref[perm], d.efc_aref[: d.nefc],
+                                   atol=1e-10)
+        np.testing.assert_allclose(my_r[perm], d.efc_R[: d.nefc], atol=1e-12)
+
+        qacc, f = con.solve_constraints(mdl, M, qacc_s, rows, iters=1000)
+        np.testing.assert_allclose(np.asarray(qacc), d.qacc, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(f)[act][perm], d.efc_force[: d.nefc], atol=1e-6
+        )
+
+
+def test_limit_rows_exact(oracle):
+    """Ankle bent past its 70° bound → one limit row matching efc."""
+    m, d, mdl = oracle
+    with jax.enable_x64(True):
+        qpos = STAND.copy()
+        qpos[2] = 2.0          # airborne: the limit is the only constraint
+        qpos[8] = 1.25         # ankle_1 beyond 1.2217
+        d.qpos[:] = qpos
+        d.qvel[:] = 0.05 * np.arange(14)
+        d.ctrl[:] = 0.0
+        mujoco.mj_forward(m, d)
+        assert d.nefc == 1 and d.efc_type[0] == mujoco.mjtConstraint.mjCNSTR_LIMIT_JOINT
+
+        kin, M, qacc_s, _ = dyn.smooth_forward(
+            mdl, jnp.array(d.qpos), jnp.array(d.qvel), jnp.array(d.ctrl)
+        )
+        rows = con.constraint_rows(mdl, kin, jnp.array(d.qpos),
+                                   jnp.array(d.qvel))
+        my_j, my_aref, my_r, act = _active_rows(rows)
+        assert act.sum() == 1
+        np.testing.assert_allclose(my_j[0], d.efc_J.reshape(1, 14)[0],
+                                   atol=1e-12)
+        np.testing.assert_allclose(my_aref[0], d.efc_aref[0], atol=1e-10)
+        np.testing.assert_allclose(my_r[0], d.efc_R[0], atol=1e-12)
+        qacc, _ = con.solve_constraints(mdl, M, qacc_s, rows, iters=500)
+        np.testing.assert_allclose(np.asarray(qacc), d.qacc, atol=1e-8)
+
+
+def test_rk4_trajectory_parity(oracle):
+    """20 RK4 steps of contact-rich random flailing track mj_step ≤ 1e-6."""
+    m, _, mdl = oracle
+    d = mujoco.MjData(m)
+    with jax.enable_x64(True):
+        d.qpos[:] = STAND
+        rng = np.random.default_rng(5)
+        ctrls = rng.uniform(-1, 1, (20, 8))
+        state = eng.init_state(mdl, jnp.array(STAND), jnp.zeros(14))
+        step = jax.jit(lambda s, c: eng.rk4_step(mdl, s, c, iters=300))
+        for t in range(20):
+            d.ctrl[:] = ctrls[t]
+            mujoco.mj_step(m, d)
+            state = step(state, jnp.array(ctrls[t]))
+        np.testing.assert_allclose(np.asarray(state.qpos), d.qpos, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.qvel), d.qvel, atol=1e-5)
+
+
+def test_wall_containment(oracle):
+    """Driving into the east wall: the ant stays inside the cage (sphere-
+    endpoint wall approximation — behavioral test, not bit parity)."""
+    _, _, mdl = oracle
+    qpos = STAND.copy()
+    qpos[0] = 4.4
+    state = eng.init_state(mdl, jnp.array(qpos), jnp.zeros(14))
+    push = jnp.zeros(14).at[0].set(3.0)   # shove it eastward
+    state = state._replace(qvel=push)
+    step = jax.jit(lambda s: eng.step(mdl, s, jnp.zeros(8), frame_skip=5,
+                                      iters=150))
+    for _ in range(6):
+        state = step(state)
+    assert float(state.qpos[0]) < 5.0 + 0.25
+    assert np.isfinite(np.asarray(state.qpos)).all()
