@@ -10,6 +10,12 @@ from .tag_jax import (
     TagContinuous,
     TagState,
 )
+from .ant_physics import (
+    AntHeavenHellPhysics,
+    AntHeavenHellPhysicsState,
+    AntTagPhysics,
+    AntTagPhysicsState,
+)
 
 try:  # MuJoCo ant envs need the host mujoco runtime
     from .ant import AntHeavenHellEnv, AntTagEnv
@@ -38,4 +44,8 @@ __all__ = [
     "TagState",
     "HeavenHellContinuous",
     "HeavenHellState",
+    "AntTagPhysics",
+    "AntTagPhysicsState",
+    "AntHeavenHellPhysics",
+    "AntHeavenHellPhysicsState",
 ]

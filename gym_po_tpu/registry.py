@@ -98,5 +98,18 @@ def _register_defaults() -> None:
     register("TagContinuous-v0", _tag)
     register("HeavenHellContinuous-v0", _hh)
 
+    def _ant_tag(**kw):
+        from .envs.ant_physics import AntTagPhysics
+
+        return AntTagPhysics(**kw)
+
+    def _ant_hh(**kw):
+        from .envs.ant_physics import AntHeavenHellPhysics
+
+        return AntHeavenHellPhysics(**kw)
+
+    register("AntTagPhysics-v0", _ant_tag)
+    register("AntHeavenHellPhysics-v0", _ant_hh)
+
 
 _register_defaults()

@@ -1,0 +1,148 @@
+"""Task-layer tests for the articulated ant POMDPs on the TPU engine.
+
+Physics-vs-MuJoCo parity lives in ``tests/test_physics*.py``; here we test
+the Environment protocol around it (reference task semantics from
+``gym_po/envs/ant_tag.py`` / ``ant_heaven_hell.py``).  Tests use reduced
+frame_skip / solver iters where the physics exactness is irrelevant to keep
+CPU runtime small.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_po_tpu.envs import (
+    AntHeavenHellPhysics,
+    AntTagPhysics,
+)
+from gym_po_tpu.envs.ant_physics import (
+    HH_RADIUS,
+    HH_SITES,
+    STAND_POSE,
+    TAG_RADIUS,
+    VISIBLE_RADIUS,
+    _move_target,
+)
+
+
+def _light(cls, **kw):
+    return cls(frame_skip=3, solver_iters=40, **kw)
+
+
+def _place(env, state, xy):
+    return state.replace(qpos=state.qpos.at[:2].set(jnp.asarray(xy)))
+
+
+def test_tag_protocol_and_shapes():
+    env = _light(AntTagPhysics)
+    key = jax.random.PRNGKey(0)
+    obs, state = env.reset(key)
+    assert obs.shape == (29,)
+    step = jax.jit(env.step)
+    for t in range(4):
+        key, ks, ka = jax.random.split(key, 3)
+        a = jax.random.uniform(ka, (8,), jnp.float32, -1, 1)
+        obs, state, r, d, tr, info = step(ks, state, a)
+        assert jnp.isfinite(obs).all()
+        assert "terminal_state" in info
+    # the ant neither sinks through the floor nor launches
+    assert 0.1 < float(state.qpos[2]) < 1.5
+
+
+def test_tag_reward_and_autoreset():
+    env = _light(AntTagPhysics)
+    key = jax.random.PRNGKey(1)
+    _, state = env.reset(key)
+    # put the target on top of the ant: the flee step is 0.5 < tag radius
+    state = state.replace(target_xy=state.qpos[:2] + 0.1)
+    obs, new_state, r, d, tr, info = jax.jit(env.step)(
+        key, state, jnp.zeros(8)
+    )
+    assert bool(d) and float(r) == 1.0
+    # autoreset: elapsed back to 0, terminal_state keeps the tagged frame
+    assert int(new_state.elapsed) == 0
+    assert int(info["terminal_state"].elapsed) == 1
+    assert bool(info["reset_mask"])
+
+
+def test_tag_truncation_resets():
+    env = _light(AntTagPhysics, time_limit=2)
+    key = jax.random.PRNGKey(2)
+    _, state = env.reset(key)
+    step = jax.jit(env.step)
+    _, state, _, d, tr, _ = step(key, state, jnp.zeros(8))
+    assert not bool(tr)
+    _, state, _, d, tr, info = step(key, state, jnp.zeros(8))
+    assert bool(tr) and int(state.elapsed) == 0
+
+
+def test_tag_visibility_gating():
+    env = _light(AntTagPhysics)
+    _, state = env.reset(jax.random.PRNGKey(3))
+    near = state.replace(target_xy=state.qpos[:2] + 2.0)  # dist 2.83 < 3
+    far = state.replace(target_xy=state.qpos[:2] + 3.0)   # dist 4.24 > 3
+    assert np.allclose(np.asarray(env.observe(near))[-2:],
+                       np.asarray(near.target_xy))
+    assert np.allclose(np.asarray(env.observe(far))[-2:], 0.0)
+
+
+def test_move_target_flee_rule():
+    agent = jnp.asarray([0.0, 0.0])
+    target = jnp.asarray([1.0, 0.0])
+    away = np.asarray(_move_target(agent, target, jnp.asarray(0)))
+    np.testing.assert_allclose(away, [1.5, 0.0], atol=1e-6)  # flees +x
+    stay = np.asarray(_move_target(agent, target, jnp.asarray(3)))
+    np.testing.assert_allclose(stay, [1.0, 0.0], atol=1e-6)
+    # cancelled at the cage edge
+    edge = np.asarray(
+        _move_target(agent, jnp.asarray([4.3, 0.0]), jnp.asarray(0))
+    )
+    np.testing.assert_allclose(edge, [4.3, 0.0], atol=1e-6)
+
+
+def test_tag_spawn_distance():
+    env = _light(AntTagPhysics)
+    _, state = env.reset_vec(jax.random.PRNGKey(4), 256)
+    d = np.linalg.norm(
+        np.asarray(state.qpos[:, :2]) - np.asarray(state.target_xy), axis=-1
+    )
+    assert (d > 5.0).all()
+    assert (np.abs(np.asarray(state.target_xy)) <= 4.5).all()
+
+
+def test_hh_reveal_and_rewards():
+    env = _light(AntHeavenHellPhysics)
+    _, state = env.reset(jax.random.PRNGKey(5))
+    state = state.replace(heaven_right=jnp.asarray(True))
+    # near the priest: obs tail reveals +1 (heaven right)
+    at_priest = _place(env, state, HH_SITES[2])
+    assert float(env.observe(at_priest)[-1]) == 1.0
+    assert float(env.observe(state)[-1]) == 0.0  # spawn is far from priest
+
+    done, rew = env._task(at_priest.qpos.at[:2].set(jnp.asarray(HH_SITES[1])),
+                          jnp.asarray(True))
+    assert bool(done) and float(rew) == 1.0      # heaven side
+    done, rew = env._task(at_priest.qpos.at[:2].set(jnp.asarray(HH_SITES[0])),
+                          jnp.asarray(True))
+    assert bool(done) and float(rew) == -1.0     # hell side
+
+
+def test_hh_step_vec_batch():
+    env = _light(AntHeavenHellPhysics)
+    key = jax.random.PRNGKey(6)
+    obs, state = env.reset_vec(key, 8)
+    assert obs.shape == (8, 28)
+    a = jax.random.uniform(key, (8, 8), jnp.float32, -1, 1)
+    obs, state, r, d, tr, info = jax.jit(env.step_vec)(key, state, a)
+    assert obs.shape == (8, 28) and r.shape == (8,)
+    assert jnp.isfinite(obs).all()
+    # both heaven sides appear across a batch of resets
+    sides = np.asarray(state.heaven_right)
+    assert sides.dtype == bool
+
+
+def test_stand_pose_matches_host_env():
+    from gym_po_tpu.envs import ant as host_ant
+
+    np.testing.assert_allclose(STAND_POSE, host_ant._STAND_POSE)
