@@ -20,9 +20,9 @@ Task semantics (identical to :mod:`.ant` / the reference):
   Obs (28) = qpos[2:] + qvel + heaven-direction-iff-near-priest.
   Reaching heaven/hell → ±1, terminal.
 
-Physics accuracy knobs: ``solver_iters`` (APGD iterations per RK4 stage —
-300 reproduces MuJoCo trajectories to ~1e-6/step at f64; the default 100 is
-within task-level noise and ~3× faster) and constraint-force warm starts
+Physics accuracy knobs: ``solver_iters`` (primal-Newton iterations per RK4
+stage — 12 reproduces MuJoCo's constraint fixed point to ~1e-12 at f64; the
+default 8 with cross-step warm starts is within f32 noise) and warm starts
 carried in the env state.
 """
 
@@ -36,7 +36,6 @@ import numpy as np
 
 from ..core import Box, Environment, EnvState
 from ..physics import HEAVEN_HELL_WALLS, TAG_WALLS, make_ant_model
-from ..physics.contact import NUM_CONTACT_SLOTS
 from ..physics.engine import PhysicsState, step as physics_step
 
 __all__ = [
@@ -66,14 +65,14 @@ HH_RADIUS = 2.0
 class AntTagPhysicsState(EnvState):
     qpos: jax.Array      # f32 [15]
     qvel: jax.Array      # f32 [14]
-    f_warm: jax.Array    # f32 [ne] constraint warm start
+    warm: jax.Array      # f32 [14] solver warm start (qacc - qacc_smooth)
     target_xy: jax.Array  # f32 [2]
 
 
 class AntHeavenHellPhysicsState(EnvState):
     qpos: jax.Array
     qvel: jax.Array
-    f_warm: jax.Array
+    warm: jax.Array
     heaven_right: jax.Array  # bool []
 
 
@@ -102,7 +101,6 @@ class _AntPhysicsBase(Environment):
         self.time_limit = int(time_limit)
         self.frame_skip = int(frame_skip)
         self.solver_iters = int(solver_iters)
-        self._ne = 8 + 4 * NUM_CONTACT_SLOTS  # limit + contact pyramid rows
         self._action_space = Box(-1.0, 1.0, (8,), dtype=jnp.float32)
 
     @property
@@ -113,12 +111,12 @@ class _AntPhysicsBase(Environment):
     def observation_space(self) -> Box:
         return self._observation_space
 
-    def _physics(self, qpos, qvel, f_warm, action):
-        ps = PhysicsState(qpos, qvel, f_warm)
+    def _physics(self, qpos, qvel, warm, action):
+        ps = PhysicsState(qpos, qvel, warm)
         out = physics_step(self.model, ps, jnp.clip(action, -1.0, 1.0),
                            frame_skip=self.frame_skip,
                            iters=self.solver_iters)
-        return out.qpos, out.qvel, out.f_warm
+        return out.qpos, out.qvel, out.warm
 
     def _spawn_qpos(self, key, lo_xy, hi_xy):
         xy = jax.random.uniform(
@@ -146,7 +144,7 @@ class AntTagPhysics(_AntPhysicsBase):
     name = "AntTagPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 100):
+                 solver_iters: int = 8):
         super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (29,), dtype=jnp.float32
@@ -181,7 +179,7 @@ class AntTagPhysics(_AntPhysicsBase):
             elapsed=jnp.zeros((), jnp.int32),
             qpos=qpos,
             qvel=jnp.zeros(_NV, jnp.float32),
-            f_warm=jnp.zeros(self._ne, jnp.float32),
+            warm=jnp.zeros(_NV, jnp.float32),
             target_xy=target,
         )
 
@@ -192,7 +190,7 @@ class AntTagPhysics(_AntPhysicsBase):
     def step_env(self, key, state, action):
         km, kr = jax.random.split(key)
         qpos, qvel, f = self._physics(
-            state.qpos, state.qvel, state.f_warm, action
+            state.qpos, state.qvel, state.warm, action
         )
         mode = jax.random.randint(km, (), 0, 4)
         target = _move_target(qpos[:2], state.target_xy, mode)
@@ -202,7 +200,7 @@ class AntTagPhysics(_AntPhysicsBase):
         elapsed = state.elapsed + 1
         trunc = (elapsed >= self.time_limit) & ~done
         mid = AntTagPhysicsState(
-            elapsed=elapsed, qpos=qpos, qvel=qvel, f_warm=f, target_xy=target
+            elapsed=elapsed, qpos=qpos, qvel=qvel, warm=f, target_xy=target
         )
         reset = done | trunc
         fresh = self._fresh(kr)
@@ -224,7 +222,7 @@ class AntTagPhysics(_AntPhysicsBase):
             elapsed=jnp.zeros(num, jnp.int32),
             qpos=qpos,
             qvel=jnp.zeros((num, _NV), jnp.float32),
-            f_warm=jnp.zeros((num, self._ne), jnp.float32),
+            warm=jnp.zeros((num, _NV), jnp.float32),
             target_xy=target,
         )
 
@@ -236,7 +234,7 @@ class AntTagPhysics(_AntPhysicsBase):
         B = action.shape[0]
         km, kr = jax.random.split(key)
         qpos, qvel, f = jax.vmap(self._physics)(
-            state.qpos, state.qvel, state.f_warm, action
+            state.qpos, state.qvel, state.warm, action
         )
         mode = jax.random.randint(km, (B,), 0, 4)
         target = jax.vmap(_move_target)(qpos[:, :2], state.target_xy, mode)
@@ -246,7 +244,7 @@ class AntTagPhysics(_AntPhysicsBase):
         elapsed = state.elapsed + 1
         trunc = (elapsed >= self.time_limit) & ~done
         mid = AntTagPhysicsState(
-            elapsed=elapsed, qpos=qpos, qvel=qvel, f_warm=f, target_xy=target
+            elapsed=elapsed, qpos=qpos, qvel=qvel, warm=f, target_xy=target
         )
         reset = done | trunc
         fresh = self._fresh_vec(kr, B)
@@ -269,7 +267,7 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
     name = "AntHeavenHellPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 100):
+                 solver_iters: int = 8):
         super().__init__(HEAVEN_HELL_WALLS, time_limit, frame_skip,
                          solver_iters)
         self._observation_space = Box(
@@ -293,7 +291,7 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
             elapsed=jnp.zeros((), jnp.int32),
             qpos=qpos,
             qvel=jnp.zeros(_NV, jnp.float32),
-            f_warm=jnp.zeros(self._ne, jnp.float32),
+            warm=jnp.zeros(_NV, jnp.float32),
             heaven_right=jax.random.bernoulli(kh),
         )
 
@@ -316,13 +314,13 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
 
     def step_env(self, key, state, action):
         qpos, qvel, f = self._physics(
-            state.qpos, state.qvel, state.f_warm, action
+            state.qpos, state.qvel, state.warm, action
         )
         done, rew = self._task(qpos, state.heaven_right)
         elapsed = state.elapsed + 1
         trunc = (elapsed >= self.time_limit) & ~done
         mid = AntHeavenHellPhysicsState(
-            elapsed=elapsed, qpos=qpos, qvel=qvel, f_warm=f,
+            elapsed=elapsed, qpos=qpos, qvel=qvel, warm=f,
             heaven_right=state.heaven_right,
         )
         reset = done | trunc
@@ -340,7 +338,7 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
             elapsed=jnp.zeros(num, jnp.int32),
             qpos=qpos,
             qvel=jnp.zeros((num, _NV), jnp.float32),
-            f_warm=jnp.zeros((num, self._ne), jnp.float32),
+            warm=jnp.zeros((num, _NV), jnp.float32),
             heaven_right=jax.random.bernoulli(kh, shape=(num,)),
         )
 
@@ -351,13 +349,13 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
     def step_vec(self, key, state, action):
         B = action.shape[0]
         qpos, qvel, f = jax.vmap(self._physics)(
-            state.qpos, state.qvel, state.f_warm, action
+            state.qpos, state.qvel, state.warm, action
         )
         done, rew = jax.vmap(self._task)(qpos, state.heaven_right)
         elapsed = state.elapsed + 1
         trunc = (elapsed >= self.time_limit) & ~done
         mid = AntHeavenHellPhysicsState(
-            elapsed=elapsed, qpos=qpos, qvel=qvel, f_warm=f,
+            elapsed=elapsed, qpos=qpos, qvel=qvel, warm=f,
             heaven_right=state.heaven_right,
         )
         reset = done | trunc

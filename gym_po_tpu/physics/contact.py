@@ -41,8 +41,10 @@ import numpy as np
 
 from .ant_model import AntModel
 from .dynamics import Kinematics, point_jacobian
+from .linalg import chol_solve
 
-__all__ = ["constraint_rows", "solve_constraints", "ConstraintRows",
+__all__ = ["constraint_rows", "solve_constraints",
+           "solve_constraints_newton", "ConstraintRows",
            "NUM_CONTACT_SLOTS"]
 
 NUM_CONTACT_SLOTS = 24
@@ -333,3 +335,64 @@ def solve_constraints(model: AntModel, M, qacc_smooth, rows: ConstraintRows,
     f, _, _ = jax.lax.fori_loop(0, iters, body, (f0, f0, jnp.ones((), b.dtype)))
     qacc = qacc_smooth + x @ f
     return qacc, f
+
+
+def solve_constraints_newton(model: AntModel, M, qacc_smooth,
+                             rows: ConstraintRows, iters: int = 8,
+                             ls_iters: int = 10, qacc0=None):
+    """Primal Newton solve — MuJoCo's own solver shape, TPU-sized.
+
+    Minimizes the piecewise-quadratic primal cost
+    ``φ(q) = ½(q−qs)ᵀM(q−qs) + ½ Σ_i D_i · min(J_i q − aref_i, 0)²``
+    (D = 1/R; one-sided rows).  Its optimum satisfies exactly the same KKT
+    system as the dual QP in :func:`solve_constraints` — forces recover as
+    ``f_i = −D_i · min(J_i q − aref_i, 0)``.
+
+    Why this beats APGD on TPU: the iteration count drops from O(100) to
+    ~8 (quadratic convergence), so the sequential chain per dynamics eval
+    is ~8 batched 14×14 Cholesky solves + J matvecs instead of hundreds of
+    [ne,ne] matvecs.  The exact line search along each Newton direction is
+    a fixed ``ls_iters``-step bisection on the monotone derivative φ'(α)
+    (φ is convex piecewise-quadratic along any ray).
+    """
+    dtype = qacc_smooth.dtype
+    j = rows.jac
+    d = rows.active / jnp.maximum(rows.r, 1e-12)        # D_i, masked
+    q0 = qacc_smooth if qacc0 is None else qacc0
+
+    def force(jq):
+        return -d * jnp.minimum(jq - rows.aref, 0.0)
+
+    def body(_, q):
+        jq = j @ q
+        f = force(jq)
+        grad = M @ (q - qacc_smooth) - j.T @ f
+        act = d * (jq - rows.aref < 0.0)
+        h = M + jnp.einsum("e,ev,ew->vw", act, j, j)
+        dq = -chol_solve(h, grad)
+        # exact line search: bisect φ'(α) on [0, 2]
+        jdq = j @ dq
+        mdq = M @ dq
+        g0 = jnp.dot(dq, M @ (q - qacc_smooth))
+        gq = jnp.dot(dq, mdq)
+
+        def dphi(alpha):
+            slack = jq + alpha * jdq - rows.aref
+            return (g0 + alpha * gq
+                    + jnp.dot(jdq, d * jnp.minimum(slack, 0.0)))
+
+        def bisect(_, ab):
+            lo, hi = ab
+            mid = 0.5 * (lo + hi)
+            pos = dphi(mid) > 0.0
+            return jnp.where(pos, lo, mid), jnp.where(pos, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(
+            0, ls_iters, bisect,
+            (jnp.zeros((), dtype), jnp.asarray(2.0, dtype)),
+        )
+        alpha = 0.5 * (lo + hi)
+        return q + alpha * dq
+
+    q = jax.lax.fori_loop(0, iters, body, q0)
+    return q, force(j @ q)

@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .ant_model import AntModel
+from .linalg import chol_solve
 from .spatial import axis_angle_quat, quat_mul, quat_normalize, quat_to_mat
 
 __all__ = ["Kinematics", "fk", "dof_frames", "body_jacobians",
@@ -214,5 +215,5 @@ def smooth_forward(model: AntModel, qpos, qvel, ctrl):
     M = mass_matrix(model, kin)
     tau = actuation(model, ctrl) + passive_force(model, qvel)
     qfrc = tau - bias_force(model, kin, qvel)
-    qacc = jnp.linalg.solve(M, qfrc)
+    qacc = chol_solve(M, qfrc)
     return kin, M, qacc, qfrc

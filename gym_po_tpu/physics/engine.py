@@ -12,11 +12,12 @@ substrate for ``gym_po/envs/ant_tag.py:138-158``:
 * ``step`` = ``frame_skip`` RK4 steps with the control held (the envs use
   frame_skip=15 → dt_env = 0.3 s), rolled with ``lax.scan``.
 
-Constraint forces are warm-started across stages and frames (slot-aligned
-top-K; misalignment after contact-set changes only affects the APGD start
-point, never the fixed point).  Everything is single-env and pure; batch
-with ``jax.vmap`` — under vmap the per-stage 14×14 Cholesky and the
-[ne,ne] APGD matvecs become batched MXU work.
+The constraint solve is the primal Newton method
+(:func:`gym_po_tpu.physics.contact.solve_constraints_newton`) — ~8-12
+iterations to MuJoCo's exact fixed point — warm-started across stages and
+frames with the previous constraint correction.  Everything is single-env
+and pure; batch with ``jax.vmap`` — under vmap the per-stage 14×14
+Cholesky factorizations and J matvecs become batched MXU work.
 """
 
 from __future__ import annotations
@@ -27,38 +28,40 @@ import jax
 import jax.numpy as jnp
 
 from .ant_model import AntModel
-from .contact import NUM_CONTACT_SLOTS, constraint_rows, solve_constraints
+from .contact import constraint_rows, solve_constraints_newton
 from .dynamics import smooth_forward
 from .spatial import quat_integrate, quat_normalize
 
 __all__ = ["PhysicsState", "init_state", "forward", "rk4_step", "step"]
 
-_NE = 8 + 4 * NUM_CONTACT_SLOTS
-
-
 class PhysicsState(NamedTuple):
-    qpos: jnp.ndarray    # [nq]
-    qvel: jnp.ndarray    # [nv]
-    f_warm: jnp.ndarray  # [ne] constraint-force warm start
+    qpos: jnp.ndarray  # [nq]
+    qvel: jnp.ndarray  # [nv]
+    warm: jnp.ndarray  # [nv] warm start: previous (qacc - qacc_smooth)
 
 
 def init_state(model: AntModel, qpos, qvel) -> PhysicsState:
     qpos = jnp.asarray(qpos)
     return PhysicsState(
         qpos, jnp.asarray(qvel, qpos.dtype),
-        jnp.zeros((_NE,), qpos.dtype),
+        jnp.zeros((model.nv,), qpos.dtype),
     )
 
 
-def forward(model: AntModel, qpos, qvel, ctrl, f_warm=None,
-            iters: int = 250):
-    """Constrained forward dynamics → (qacc, f)."""
+def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
+            iters: int = 10):
+    """Constrained forward dynamics → (qacc, warm_out).
+
+    ``warm`` is the previous step's constraint correction
+    ``qacc - qacc_smooth``; Newton starts from ``qacc_smooth + warm``
+    (zero warm start == the unconstrained solution, already correct for
+    contact-free frames)."""
     kin, M, qacc_smooth, _ = smooth_forward(model, qpos, qvel, ctrl)
     rows = constraint_rows(model, kin, qpos, qvel)
-    if f_warm is None:
-        f_warm = jnp.zeros((rows.jac.shape[0],), qpos.dtype)
-    return solve_constraints(model, M, qacc_smooth, rows, iters=iters,
-                             f0=f_warm)
+    q0 = qacc_smooth if warm is None else qacc_smooth + warm
+    qacc, _ = solve_constraints_newton(model, M, qacc_smooth, rows,
+                                       iters=iters, qacc0=q0)
+    return qacc, qacc - qacc_smooth
 
 
 def _integrate_pos(model: AntModel, qpos, qvel_avg, dt):
@@ -75,11 +78,11 @@ _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
 def rk4_step(model: AntModel, state: PhysicsState, ctrl,
-             iters: int = 250) -> PhysicsState:
+             iters: int = 10) -> PhysicsState:
     """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``)."""
     dt = model.dt
     qpos0, qvel0 = state.qpos, state.qvel
-    qacc, f = forward(model, qpos0, qvel0, ctrl, state.f_warm, iters)
+    qacc, w = forward(model, qpos0, qvel0, ctrl, state.warm, iters)
     vels = [qvel0]
     accs = [qacc]
     for i in range(3):
@@ -88,7 +91,7 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
         dpos_vel = sum(a_row[j] * vels[j] for j in range(i + 1))
         qpos_i = _integrate_pos(model, qpos0, dpos_vel, dt)
         qvel_i = qvel0 + dt * dvel
-        qacc_i, f = forward(model, qpos_i, qvel_i, ctrl, f, iters)
+        qacc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters)
         vels.append(qvel_i)
         accs.append(qacc_i)
     vel_avg = sum(b * v for b, v in zip(_RK_B, vels))
@@ -96,12 +99,12 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
     return PhysicsState(
         _integrate_pos(model, qpos0, vel_avg, dt),
         qvel0 + dt * acc_avg,
-        f,
+        w,
     )
 
 
 def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
-         iters: int = 250) -> PhysicsState:
+         iters: int = 10) -> PhysicsState:
     """``frame_skip`` RK4 steps with ``ctrl`` held (``MujocoEnv.do_simulation``)."""
 
     def body(s, _):

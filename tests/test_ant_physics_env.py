@@ -27,7 +27,7 @@ from gym_po_tpu.envs.ant_physics import (
 
 
 def _light(cls, **kw):
-    return cls(frame_skip=3, solver_iters=40, **kw)
+    return cls(frame_skip=3, solver_iters=8, **kw)
 
 
 def _place(env, state, xy):

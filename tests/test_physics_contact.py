@@ -126,7 +126,7 @@ def test_rk4_trajectory_parity(oracle):
         rng = np.random.default_rng(5)
         ctrls = rng.uniform(-1, 1, (20, 8))
         state = eng.init_state(mdl, jnp.array(STAND), jnp.zeros(14))
-        step = jax.jit(lambda s, c: eng.rk4_step(mdl, s, c, iters=300))
+        step = jax.jit(lambda s, c: eng.rk4_step(mdl, s, c, iters=15))
         for t in range(20):
             d.ctrl[:] = ctrls[t]
             mujoco.mj_step(m, d)
@@ -145,7 +145,7 @@ def test_wall_containment(oracle):
     push = jnp.zeros(14).at[0].set(3.0)   # shove it eastward
     state = state._replace(qvel=push)
     step = jax.jit(lambda s: eng.step(mdl, s, jnp.zeros(8), frame_skip=5,
-                                      iters=150))
+                                      iters=8))
     for _ in range(6):
         state = step(state)
     assert float(state.qpos[0]) < 5.0 + 0.25
