@@ -20,10 +20,12 @@ Task semantics (identical to :mod:`.ant` / the reference):
   Obs (28) = qpos[2:] + qvel + heaven-direction-iff-near-priest.
   Reaching heaven/hell → ±1, terminal.
 
-Physics accuracy knobs: ``solver_iters`` (primal-Newton iterations per RK4
-stage — 12 reproduces MuJoCo's constraint fixed point to ~1e-12 at f64; the
-default 8 with cross-step warm starts is within f32 noise) and warm starts
-carried in the env state.
+Physics accuracy knobs: ``solver_iters`` (primal-Newton iterations per
+integrator stage — 12 reproduces MuJoCo's constraint fixed point to ~1e-12
+at f64; the default 8 with cross-step warm starts is within f32 noise),
+``integrator`` (``"rk4"`` = the reference setting; ``"euler"`` = one
+constrained solve per substep, ~4x cheaper, see ``physics.engine``), and
+warm starts carried in the env state.
 """
 
 from __future__ import annotations
@@ -96,11 +98,12 @@ class _AntPhysicsBase(Environment):
     """Shared physics plumbing; subclasses add the task layer."""
 
     def __init__(self, walls, time_limit: int, frame_skip: int,
-                 solver_iters: int):
+                 solver_iters: int, integrator: str = "rk4"):
         self.model = make_ant_model(walls)
         self.time_limit = int(time_limit)
         self.frame_skip = int(frame_skip)
         self.solver_iters = int(solver_iters)
+        self.integrator = str(integrator)
         self._action_space = Box(-1.0, 1.0, (8,), dtype=jnp.float32)
 
     @property
@@ -115,7 +118,8 @@ class _AntPhysicsBase(Environment):
         ps = PhysicsState(qpos, qvel, warm)
         out = physics_step(self.model, ps, jnp.clip(action, -1.0, 1.0),
                            frame_skip=self.frame_skip,
-                           iters=self.solver_iters)
+                           iters=self.solver_iters,
+                           integrator=self.integrator)
         return out.qpos, out.qvel, out.warm
 
     def _spawn_qpos(self, key, lo_xy, hi_xy):
@@ -144,8 +148,9 @@ class AntTagPhysics(_AntPhysicsBase):
     name = "AntTagPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 8):
-        super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters)
+                 solver_iters: int = 8, integrator: str = "rk4"):
+        super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters,
+                         integrator)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (29,), dtype=jnp.float32
         )
@@ -267,9 +272,9 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
     name = "AntHeavenHellPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 8):
+                 solver_iters: int = 8, integrator: str = "rk4"):
         super().__init__(HEAVEN_HELL_WALLS, time_limit, frame_skip,
-                         solver_iters)
+                         solver_iters, integrator)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (28,), dtype=jnp.float32
         )

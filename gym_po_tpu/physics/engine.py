@@ -32,7 +32,9 @@ from .contact import constraint_rows, solve_constraints_newton
 from .dynamics import smooth_forward
 from .spatial import quat_integrate, quat_normalize
 
-__all__ = ["PhysicsState", "init_state", "forward", "rk4_step", "step"]
+__all__ = [
+    "PhysicsState", "init_state", "forward", "rk4_step", "euler_step", "step",
+]
 
 class PhysicsState(NamedTuple):
     qpos: jnp.ndarray  # [nq]
@@ -103,12 +105,37 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
     )
 
 
+def euler_step(model: AntModel, state: PhysicsState, ctrl,
+               iters: int = 10) -> PhysicsState:
+    """One semi-implicit Euler step: ``qvel' = qvel + dt qacc``, position
+    integrated with the NEW velocity.
+
+    A speed/compile knob, not a parity path: the reference models pin
+    ``integrator="RK4"`` (``assets/*.xml:3``), and MuJoCo's own Euler mode
+    additionally treats joint damping implicitly — this one is the plain
+    symplectic variant (one constrained ``forward`` per step instead of
+    RK4's four: ~4x less compute and a 4x smaller trace)."""
+    qacc, w = forward(model, state.qpos, state.qvel, ctrl, state.warm, iters)
+    qvel = state.qvel + model.dt * qacc
+    return PhysicsState(
+        _integrate_pos(model, state.qpos, qvel, model.dt), qvel, w
+    )
+
+
 def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
-         iters: int = 10) -> PhysicsState:
-    """``frame_skip`` RK4 steps with ``ctrl`` held (``MujocoEnv.do_simulation``)."""
+         iters: int = 10, integrator: str = "rk4") -> PhysicsState:
+    """``frame_skip`` integrator steps with ``ctrl`` held
+    (``MujocoEnv.do_simulation``).  ``integrator``: ``"rk4"`` (reference
+    setting) or ``"euler"`` (see :func:`euler_step`)."""
+    if integrator == "rk4":
+        substep = rk4_step
+    elif integrator == "euler":
+        substep = euler_step
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
 
     def body(s, _):
-        return rk4_step(model, s, ctrl, iters), ()
+        return substep(model, s, ctrl, iters), ()
 
     out, _ = jax.lax.scan(body, state, None, length=frame_skip)
     return out

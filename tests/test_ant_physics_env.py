@@ -146,3 +146,38 @@ def test_stand_pose_matches_host_env():
     from gym_po_tpu.envs import ant as host_ant
 
     np.testing.assert_allclose(STAND_POSE, host_ant._STAND_POSE)
+
+
+def test_ppo_train_step_on_ant():
+    """The Anakin PPO learner trains the articulated ant end-to-end
+    (Gaussian head over the 8-torque Box action, 29-D Box obs)."""
+    from gym_po_tpu.agents import PPOConfig, init_train_state, make_train_step
+
+    env = AntTagPhysics(frame_skip=1, solver_iters=2)
+    cfg = PPOConfig(
+        num_envs=4, rollout_steps=4, epochs=1, minibatches=2, hidden=(16, 16)
+    )
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    ts2, metrics = make_train_step(env, net, cfg)(ts)
+    for v in jax.tree_util.tree_leaves(metrics):
+        assert jnp.isfinite(v).all()
+    # params moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_rnn_ppo_train_step_on_ant():
+    """GRU-PPO (the POMDP learner) over the ant's Gaussian action head."""
+    from gym_po_tpu.agents import PPOConfig
+    from gym_po_tpu.agents.ppo_rnn import init_rnn_state, make_rnn_train_step
+
+    env = AntHeavenHellPhysics(frame_skip=1, solver_iters=2)
+    cfg = PPOConfig(
+        num_envs=4, rollout_steps=4, epochs=1, minibatches=2, hidden=(16,)
+    )
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(0), hidden=8)
+    ts2, metrics = make_rnn_train_step(env, net, cfg)(ts)
+    for v in jax.tree_util.tree_leaves(metrics):
+        assert jnp.isfinite(v).all()

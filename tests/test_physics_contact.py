@@ -150,3 +150,30 @@ def test_wall_containment(oracle):
         state = step(state)
     assert float(state.qpos[0]) < 5.0 + 0.25
     assert np.isfinite(np.asarray(state.qpos)).all()
+
+
+def test_euler_integrator_stable_and_consistent(oracle):
+    """The Euler speed knob: stays on its feet under random flailing and
+    tracks the RK4 trajectory loosely over a short horizon (it is a
+    different integrator, not a parity path — engine.euler_step)."""
+    _, _, mdl = oracle
+    rng = np.random.default_rng(7)
+    ctrls = rng.uniform(-1, 1, (10, 8))
+    s_rk = eng.init_state(mdl, jnp.array(STAND, dtype=jnp.float32),
+                          jnp.zeros(14, jnp.float32))
+    s_eu = s_rk
+    rk = jax.jit(lambda s, c: eng.step(mdl, s, c, frame_skip=1, iters=8,
+                                       integrator="rk4"))
+    eu = jax.jit(lambda s, c: eng.step(mdl, s, c, frame_skip=1, iters=8,
+                                       integrator="euler"))
+    for t in range(10):
+        c = jnp.array(ctrls[t], jnp.float32)
+        s_rk = rk(s_rk, c)
+        s_eu = eu(s_eu, c)
+    q_rk, q_eu = np.asarray(s_rk.qpos), np.asarray(s_eu.qpos)
+    assert np.isfinite(q_eu).all()
+    assert 0.1 < q_eu[2] < 1.5                       # on its feet
+    np.testing.assert_allclose(q_eu, q_rk, atol=0.05)  # same trajectory shape
+
+    with pytest.raises(ValueError):
+        eng.step(mdl, s_eu, jnp.zeros(8), integrator="verlet")
