@@ -25,6 +25,8 @@ CONFIGS = [
     ("CRooms-v0", {"layout": "4", "obs_type": "mdp", "goal_xy": None}),
     ("MultistoryFourRooms-v0", {"grid_z": 3, "obs_type": "mdp"}),
     ("CarFlag-v0", {"time_limit": 60}),
+    ("AntTagPhysics-v0", {"frame_skip": 5, "solver_iters": 4}),
+    ("AntHeavenHellPhysics-v0", {"frame_skip": 5, "solver_iters": 4}),
 ]
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "render_tag",
     "render_heavenhell",
     "render_rocksample",
+    "render_ant",
     "render",
     "human_view",
 ]
@@ -333,6 +334,140 @@ def render_heavenhell(env, state, idx=None) -> np.ndarray:
     return tile_images(frames)
 
 
+# ------------------------------------------------------------ ant physics
+def _np_quat_mat(q: np.ndarray) -> np.ndarray:
+    """Rotation matrix of a unit quaternion [w,x,y,z] (NumPy)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_fk(model, qpos: np.ndarray):
+    """NumPy forward kinematics (mirror of physics.dynamics.fk) so the
+    renderer never dispatches to a device."""
+    nb = model.nb
+    xpos = np.zeros((nb, 3))
+    xmat = np.zeros((nb, 3, 3))
+    xpos[0] = qpos[0:3]
+    q0 = qpos[3:7]
+    q0 = q0 / np.linalg.norm(q0)
+    xmat[0] = _np_quat_mat(q0)
+    for b in range(1, nb):
+        p = int(model.parent[b])
+        xpos[b] = xpos[p] + xmat[p] @ model.body_pos[b]
+        j = int(model.body_jnt[b])
+        if j >= 0:
+            ax = model.jnt_axis[j]
+            ang = float(qpos[int(model.jnt_qpos[j])])
+            c, s = math.cos(ang / 2), math.sin(ang / 2)
+            R = _np_quat_mat(np.array([c, s * ax[0], s * ax[1], s * ax[2]]))
+            xmat[b] = xmat[p] @ R
+        else:
+            xmat[b] = xmat[p]
+    return xpos, xmat
+
+
+def _draw_seg(img, p0, p1, color, width=2):
+    """Rasterize a thick 2-D segment (pixel coords) by dense sampling."""
+    n = max(2, int(np.hypot(p1[0] - p0[0], p1[1] - p0[1])) * 2)
+    rows, cols = img.shape[:2]
+    for t in np.linspace(0.0, 1.0, n):
+        r = int(round(p0[0] + t * (p1[0] - p0[0])))
+        c = int(round(p0[1] + t * (p1[1] - p0[1])))
+        r0, r1 = max(r - width, 0), min(r + width, rows)
+        c0, c1 = max(c - width, 0), min(c + width, cols)
+        img[r0:r1, c0:c1] = color
+
+
+def render_ant(env, state, idx=None) -> np.ndarray:
+    """Top-down view of the articulated ant POMDPs: walls, leg skeleton
+    from forward kinematics, torso, and the task overlay (flee target +
+    visibility ring for AntTag; heaven/hell/priest sites for HeavenHell).
+
+    Capability match for the reference's MuJoCo viewer (mocap indicator
+    spheres, ``ant_tag.py:141-145``) as a pure host function of fetched
+    state."""
+    from ..envs.ant_physics import (
+        HH_SITES,
+        VISIBLE_RADIUS,
+        AntHeavenHellPhysics,
+        AntTagPhysics,
+    )
+
+    idx = _indices(idx)
+    model = env.model
+    walls = np.asarray(model.walls)
+    half_x = float(np.max(np.abs(walls[:, 0]) + walls[:, 3])) + 0.5
+    ylo = float(np.min(walls[:, 1] - walls[:, 4])) - 0.5
+    yhi = float(np.max(walls[:, 1] + walls[:, 4])) + 0.5
+    SCALE = 20
+    wpx = int(2 * half_x * SCALE)
+    hpx = int((yhi - ylo) * SCALE)
+
+    def to_px(x, y):
+        # row = flipped y (image origin top-left), col = x
+        return int((yhi - float(y)) * SCALE), int((float(x) + half_x) * SCALE)
+
+    qpos = _select(state.qpos, idx)
+    is_tag = isinstance(env, AntTagPhysics)
+    targets = _select(state.target_xy, idx) if is_tag else None
+    heaven_right = (
+        _select(state.heaven_right, idx)
+        if isinstance(env, AntHeavenHellPhysics) else None
+    )
+
+    frames = []
+    for k in range(len(idx)):
+        img = _blank(hpx, wpx, (15, 15, 20))
+        for (cx, cy, _cz, hx, hy, _hz) in walls:
+            r0, c0 = to_px(cx - hx, cy + hy)
+            r1, c1 = to_px(cx + hx, cy - hy)
+            img[max(r0, 0):r1, max(c0, 0):c1] = COLORS["wall"]
+        if heaven_right is not None:
+            right = bool(heaven_right[k])
+            for i, site in enumerate(HH_SITES):
+                color = (
+                    COLORS["priest"] if i == 2
+                    else COLORS["heaven"] if (i == 1) == right
+                    else COLORS["hell"]
+                )
+                r, c = to_px(site[0], site[1])
+                img[max(r - 5, 0):r + 5, max(c - 5, 0):c + 5] = color
+        xpos, xmat = _np_fk(model, np.asarray(qpos[k], np.float64))
+        if is_tag:
+            ar, ac = to_px(xpos[0, 0], xpos[0, 1])
+            rad = int(VISIBLE_RADIUS * SCALE)
+            yy, xx = np.ogrid[:hpx, :wpx]
+            ring = np.abs(
+                np.sqrt((yy - ar) ** 2 + (xx - ac) ** 2) - rad
+            ) < 1.0
+            img[ring] = (60, 60, 90)
+            tr, tc = to_px(targets[k, 0], targets[k, 1])
+            img[max(tr - 4, 0):tr + 4, max(tc - 4, 0):tc + 4] = COLORS["goal"]
+        # leg skeleton: each capsule geom as a world-frame segment
+        for g in range(len(model.geom_body)):
+            b = int(model.geom_body[g])
+            h = float(model.geom_h[g])
+            if h == 0.0:
+                continue  # torso sphere drawn below
+            center = xpos[b] + xmat[b] @ model.geom_pos[g]
+            axis_w = xmat[b] @ model.geom_axis[g]
+            p0 = center - h * axis_w
+            p1 = center + h * axis_w
+            _draw_seg(img, to_px(p0[0], p0[1]), to_px(p1[0], p1[1]),
+                      (150, 110, 60), width=2)
+        ar, ac = to_px(xpos[0, 0], xpos[0, 1])
+        tors = int(0.25 * SCALE)
+        img[max(ar - tors, 0):ar + tors, max(ac - tors, 0):ac + tors] = (
+            COLORS["agent"]
+        )
+        frames.append(img)
+    return tile_images(frames)
+
+
 # --------------------------------------------------------------- dispatch
 def render_rocksample(env, state, idx=None) -> np.ndarray:
     """RockSample(n,k) frame: grid, rocks colored by latent quality, rover,
@@ -383,6 +518,10 @@ def render(env, state, idx: Optional[Sequence[int]] = None) -> np.ndarray:
 
     if isinstance(env, RockSample):
         return render_rocksample(env, state, idx)
+    from ..envs.ant_physics import _AntPhysicsBase
+
+    if isinstance(env, _AntPhysicsBase):
+        return render_ant(env, state, idx)
     raise TypeError(f"No renderer for {type(env).__name__}")
 
 

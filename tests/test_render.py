@@ -79,3 +79,36 @@ def test_taxi_render_has_landmark_and_status_glyphs():
     dy, dx = t.np_locs[int(d[0])]
     cell = img[dy * px : (dy + 1) * px, dx * px : (dx + 1) * px]
     assert (cell == 255).all(-1).any(), "no D glyph on the destination cell"
+
+
+def test_ant_render_frames_and_np_fk_parity():
+    """render_ant draws both ant envs; its NumPy FK mirror matches the
+    engine's jax FK exactly (same tree, same quaternion algebra)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gym_po_tpu as gpt
+    from gym_po_tpu.physics.dynamics import fk
+    from gym_po_tpu.render.renderers import COLORS, _np_fk, render_ant
+
+    for name in ("AntTagPhysics-v0", "AntHeavenHellPhysics-v0"):
+        env = gpt.make(name, frame_skip=1, solver_iters=2)
+        key = jax.random.PRNGKey(0)
+        obs, state = env.reset_vec(key, 2)
+        # random pose so legs actually articulate in the frame
+        qpos = state.qpos.at[:, 7:].add(
+            jax.random.uniform(key, (2, 8), jnp.float32, -0.5, 0.5)
+        )
+        state = state.replace(qpos=qpos)
+        img = render_ant(env, state, idx=[0, 1])
+        assert img.dtype == np.uint8 and img.ndim == 3
+        assert (img.reshape(-1, 3) == COLORS["agent"]).all(-1).any()
+        assert (img.reshape(-1, 3) == COLORS["wall"]).all(-1).any()
+        # FK mirror parity
+        q0 = np.asarray(qpos[0], np.float64)
+        xp_np, xm_np = _np_fk(env.model, q0)
+        xp_jax, xq_jax = fk(env.model, jnp.asarray(q0))
+        np.testing.assert_allclose(xp_np, np.asarray(xp_jax), atol=1e-5)
+        # dispatch integration
+        from gym_po_tpu.render import render
+        assert render(env, state, idx=[0]).ndim == 3
