@@ -24,11 +24,20 @@ against ``mjData.efc_*`` and validated row-for-row in
   ``diagApprox = 2μ²(1+μ²)·Σ body_invweight0`` for pyramidal contact rows
   and ``dof_invweight0`` for joint limits (all verified against efc_KBIP /
   efc_R to 1e-6).
-* **Solver**: the dual convex QP ``min_{f≥0} ½fᵀ(A+R)f + fᵀ(J·qacc_smooth −
-  aref)`` solved with fixed-iteration APGD (Nesterov projected gradient):
-  every operation is a batched matmul/matvec — no sequential Gauss-Seidel
-  sweep, which is the TPU-native replacement for MuJoCo's Newton solver
-  (same QP, same fixed point).
+* **Solver**: primal Newton in qacc space (MuJoCo's own solver shape) —
+  see :func:`solve_constraints_newton`; the APGD dual solve is kept as
+  :func:`solve_constraints` (tested, 2.3x slower, HBM-infeasible at large
+  batch).
+
+TPU-first layout (second generation): every per-candidate quantity is a
+shape-() *scalar* computed for all candidates with their **static** body →
+active-dof sparsity (the Jacobian dot uses ``(u×(pos−p))·n = u·((pos−p)×n)``
+so the three free-rotation entries are one ``R₀ᵀ m`` product), then stacked
+into well-packed ``[nc]`` lane vectors only for the ``top_k`` selection.
+The assembled system is stored **transposed**, ``jac_t ∈ [nv, ne]`` — a
+``(16,128)`` TPU tile instead of the 9x-padded ``[ne, nv]`` layout.  The
+first-generation ``[ne,nv]``/gather formulation was bandwidth-bound on lane
+padding (see ``docs/PHYSICS.md``).
 """
 
 from __future__ import annotations
@@ -40,7 +49,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ant_model import AntModel
-from .dynamics import Kinematics, point_jacobian
+from .dynamics import (
+    Kinematics, SKin, mt_vec, m_vec, v_add, v_cross, v_dot, v_scale, v_sub,
+)
 from .linalg import chol_solve
 
 __all__ = ["constraint_rows", "solve_constraints",
@@ -52,10 +63,15 @@ _MINIMP, _MAXIMP = 1e-4, 0.9999
 
 
 class ConstraintRows(NamedTuple):
-    jac: jnp.ndarray    # [ne, nv]
-    aref: jnp.ndarray   # [ne]
-    r: jnp.ndarray      # [ne] regularizer
+    jac_t: jnp.ndarray   # [nv, ne]  (transposed: dof-major, row-minor)
+    aref: jnp.ndarray    # [ne]
+    r: jnp.ndarray       # [ne] regularizer
     active: jnp.ndarray  # [ne] {0,1}
+
+    @property
+    def jac(self) -> jnp.ndarray:
+        """[ne, nv] row-major view (tests / APGD path)."""
+        return jnp.swapaxes(self.jac_t, -1, -2)
 
 
 def _impedance(model: AntModel, violation: jnp.ndarray) -> jnp.ndarray:
@@ -80,96 +96,142 @@ def _kb(model: AntModel):
     return k, b
 
 
-def _sphere_centers(model: AntModel, kin: Kinematics):
+# ---------------------------------------------------------------------------
+# scalar candidate geometry
+# ---------------------------------------------------------------------------
+
+def _sphere_centers_s(model: AntModel, s: SKin):
     """World centers of the 25 collision spheres (torso + 2 per capsule) →
-    (centers [ns,3], bodies [ns], radii [ns], world axes [ns,3],
-    is_sphere [ns]).  Geom 0 is the torso sphere; geoms 1.. are capsules."""
-    dtype = kin.xpos.dtype
-    gb = jnp.asarray(model.geom_body)
-    gpos = jnp.asarray(model.geom_pos, dtype=dtype)
-    gaxis = jnp.asarray(model.geom_axis, dtype=dtype)
-    gh = jnp.asarray(model.geom_h, dtype=dtype)
-    R = kin.xmat[gb]                                   # [ng,3,3]
-    center = kin.xpos[gb] + jnp.einsum("gij,gj->gi", R, gpos)
-    axis_w = jnp.einsum("gij,gj->gi", R, gaxis)        # [ng,3]
-    ends = jnp.stack(
-        [center - gh[:, None] * axis_w, center + gh[:, None] * axis_w], 1
-    )                                                  # [ng,2,3]
-    pts = jnp.concatenate([center[0:1], ends[1:].reshape(-1, 3)])
-    two = lambda v: jnp.concatenate([v[0:1], jnp.repeat(v[1:], 2, axis=0)])
-    bodies = two(jnp.asarray(model.geom_body, dtype=jnp.int32))
-    radii = two(jnp.asarray(model.geom_r, dtype=dtype))
-    axes = two(axis_w)
-    is_sphere = jnp.zeros((pts.shape[0],), bool).at[0].set(True)
-    return pts, bodies, radii, axes, is_sphere
+    lists of (center 3-tuple, body id int, radius float, world axis 3-tuple,
+    is_sphere bool).  Geom 0 is the torso sphere; geoms 1.. are capsules."""
+    out = []
+    for g in range(len(model.geom_body)):
+        b = int(model.geom_body[g])
+        gpos = tuple(float(x) for x in model.geom_pos[g])
+        gaxis = tuple(float(x) for x in model.geom_axis[g])
+        r = float(model.geom_r[g])
+        h = float(model.geom_h[g])
+        R = s.xmat[b]
+        center = v_add(s.xpos[b], m_vec(R, gpos))
+        axis_w = m_vec(R, gaxis)
+        if g == 0:
+            out.append((center, b, r, axis_w, True))
+        else:
+            out.append((v_sub(center, v_scale(h, axis_w)), b, r, axis_w,
+                        False))
+            out.append((v_add(center, v_scale(h, axis_w)), b, r, axis_w,
+                        False))
+    return out
 
 
-def _make_frame(n: jnp.ndarray):
-    """MuJoCo ``mju_makeFrame``: t = ŷ if |n_y| < 0.5 else ẑ, orthogonalize."""
-    dtype = n.dtype
-    t = jnp.where(
-        jnp.abs(n[..., 1:2]) < 0.5,
-        jnp.asarray([0.0, 1.0, 0.0], dtype),
-        jnp.asarray([0.0, 0.0, 1.0], dtype),
-    )
-    t1 = t - n * jnp.sum(n * t, -1, keepdims=True)
-    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
-    return t1, jnp.cross(n, t1)
+def _make_frame_s(n):
+    """MuJoCo ``mju_makeFrame``: t = ŷ if |n_y| < 0.5 else ẑ, orthogonalize.
+    Scalar form; ``n`` is a unit 3-tuple of scalars."""
+    ny_small = jnp.abs(n[1]) < 0.5
+    t = (0.0, jnp.where(ny_small, 1.0, 0.0), jnp.where(ny_small, 0.0, 1.0))
+    d = v_dot(n, t)
+    t1 = v_sub(t, v_scale(d, n))
+    inv = 1.0 / jnp.sqrt(v_dot(t1, t1))
+    t1 = v_scale(inv, t1)
+    return t1, v_cross(n, t1)
 
 
-def _capsule_plane_frame(axis_w: jnp.ndarray, n: jnp.ndarray):
-    """MuJoCo plane-capsule tangent: t1 = -normalize(axis projected onto the
-    plane); falls back to mju_makeFrame when the axis is ⟂ to the plane."""
-    proj = axis_w - n * jnp.sum(axis_w * n, -1, keepdims=True)
-    nrm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
-    mf_t1, _ = _make_frame(n)
-    t1 = jnp.where(nrm > 1e-8, -proj / jnp.where(nrm > 1e-8, nrm, 1.0), mf_t1)
-    return t1, jnp.cross(n, t1)
+def _capsule_floor_frame(axis_w):
+    """MuJoCo plane-capsule tangent for the z=0 floor: t1 = -normalize(axis
+    projected onto the plane); falls back to (0,1,0) (``mju_makeFrame`` of
+    ẑ) when the axis is ⟂ to the plane.  t2 = ẑ × t1."""
+    px, py = axis_w[0], axis_w[1]
+    nrm = jnp.sqrt(px * px + py * py)
+    ok = nrm > 1e-8
+    inv = -1.0 / jnp.where(ok, nrm, 1.0)
+    t1 = (jnp.where(ok, px * inv, 0.0), jnp.where(ok, py * inv, 1.0), 0.0)
+    return t1, (-t1[1], t1[0], 0.0)
 
 
-def contact_candidates(model: AntModel, kin: Kinematics):
-    """All candidate contacts → (pos [nc,3], dist [nc], n/t1/t2 [nc,3],
-    body [nc], invweight [nc]).  nc = 25 + 25·n_walls, static."""
-    dtype = kin.xpos.dtype
-    c, bodies, r, axes, is_sphere = _sphere_centers(model, kin)
-    ns = c.shape[0]
-    inv0 = jnp.asarray(_body_invweight(model), dtype=dtype)[bodies]
+def _hinges_of_body(model: AntModel, b: int):
+    """Static list of (dof index, joint id) whose hinge moves body ``b``."""
+    return [
+        (int(model.jnt_dof[j]), j)
+        for j in range(8)
+        if model.dof_mask[b, int(model.jnt_dof[j])]
+    ]
 
-    # floor plane z=0
-    zhat = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), (ns, 3))
-    dist_f = c[:, 2] - r
-    pos_f = c - zhat * (r + dist_f / 2.0)[:, None]
-    mt1, mt2 = _make_frame(zhat)
-    ct1, ct2 = _capsule_plane_frame(axes, zhat)
-    t1_f = jnp.where(is_sphere[:, None], mt1, ct1)
-    t2_f = jnp.where(is_sphere[:, None], mt2, ct2)
 
-    # walls: sphere vs axis-aligned box, [nw, ns] broadcast
-    walls = jnp.asarray(np.asarray(model.walls), dtype=dtype)
-    wc, wh = walls[:, None, :3], walls[:, None, 3:]
-    cp = jnp.clip(c[None], wc - wh, wc + wh)
-    delta = c[None] - cp
-    dn = jnp.linalg.norm(delta, axis=-1)
-    safe = dn > 1e-9
-    n_w = jnp.where(
-        safe[..., None], delta / jnp.where(safe, dn, 1.0)[..., None],
-        jnp.asarray([0.0, 0.0, 1.0], dtype),
-    )
-    dist_w = jnp.where(safe, dn - r[None], -r[None])
-    pos_w = c[None] - n_w * (r[None] + dist_w / 2.0)[..., None]
-    t1_w, t2_w = _make_frame(n_w)
+def _jrow_entries(model: AntModel, s: SKin, pos, dirs, body: int):
+    """Scalar Jacobian-row entries for a contact at world point ``pos`` on
+    ``body`` (static id), dotted with each direction in ``dirs``.
 
-    flat = lambda x: x.reshape((-1,) + x.shape[2:])
-    return (
-        jnp.concatenate([pos_f, flat(pos_w)]),
-        jnp.concatenate([dist_f, flat(dist_w)]),
-        jnp.concatenate([zhat, flat(n_w)]),
-        jnp.concatenate([t1_f, flat(t1_w)]),
-        jnp.concatenate([t2_f, flat(t2_w)]),
-        jnp.concatenate([bodies, jnp.tile(bodies, walls.shape[0])]),
-        jnp.concatenate([inv0, jnp.tile(inv0, walls.shape[0])]),
-    )
+    Returns one length-nv list per direction.  Uses the triple-product
+    identity ``(u × (pos − p))·dir = u · ((pos − p) × dir)``: the three
+    free-rotation entries are one ``R₀ᵀ m`` with ``m = (pos − xpos₀) × dir``.
+    """
+    nv = model.nv
+    R0 = s.xmat[0]
+    arm0 = v_sub(pos, s.xpos[0])
+    hinges = _hinges_of_body(model, body)
+    rows = []
+    for dr in dirs:
+        col = [0.0] * nv
+        for k in range(3):                    # translation dofs
+            col[k] = dr[k]
+        m0 = v_cross(arm0, dr)
+        free = mt_vec(R0, m0)                 # u_k · m0, k = 0..2
+        col[3], col[4], col[5] = free[0], free[1], free[2]
+        for d, j in hinges:
+            mh = v_cross(v_sub(pos, s.dof_p[d]), dr)
+            col[d] = v_dot(s.dof_u[d], mh)
+        rows.append(col)
+    return rows
 
+
+def contact_candidates_s(model: AntModel, s: SKin):
+    """All candidate contacts in scalar form → list of dicts with keys
+    ``dist`` (scalar), ``jn``/``jt1``/``jt2`` (length-nv scalar lists),
+    ``invweight`` (static float).  nc = 25 + 25·n_walls, static order."""
+    spheres = _sphere_centers_s(model, s)
+    inv0 = _body_invweight(model)
+    cands = []
+
+    # floor plane z=0: n = ẑ (static frame for the torso sphere)
+    for c, b, r, axis_w, is_sphere in spheres:
+        dist = c[2] - r
+        pos = (c[0], c[1], c[2] - (r + 0.5 * dist))
+        if is_sphere:
+            t1, t2 = (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0)
+        else:
+            t1, t2 = _capsule_floor_frame(axis_w)
+        jn, jt1, jt2 = _jrow_entries(
+            model, s, pos, ((0.0, 0.0, 1.0), t1, t2), b)
+        cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
+                          invweight=float(inv0[b])))
+
+    # walls: sphere vs axis-aligned box closest point (static bounds)
+    for w in np.asarray(model.walls):
+        wc, wh = w[:3], w[3:]
+        lo = tuple(float(x) for x in wc - wh)
+        hi = tuple(float(x) for x in wc + wh)
+        for c, b, r, _, _ in spheres:
+            cp = tuple(jnp.clip(c[k], lo[k], hi[k]) for k in range(3))
+            delta = v_sub(c, cp)
+            dn = jnp.sqrt(v_dot(delta, delta))
+            safe = dn > 1e-9
+            inv = 1.0 / jnp.where(safe, dn, 1.0)
+            n = tuple(
+                jnp.where(safe, delta[k] * inv, 1.0 if k == 2 else 0.0)
+                for k in range(3)
+            )
+            dist = jnp.where(safe, dn - r, -r)
+            pos = v_sub(c, v_scale(r + 0.5 * dist, n))
+            t1, t2 = _make_frame_s(n)
+            jn, jt1, jt2 = _jrow_entries(model, s, pos, (n, t1, t2), b)
+            cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
+                              invweight=float(inv0[b])))
+    return cands
+
+
+# ---------------------------------------------------------------------------
+# invweight precomputation (MuJoCo *_invweight0, f64 NumPy, one-time)
+# ---------------------------------------------------------------------------
 
 _INVWEIGHT_CACHE: dict = {}
 
@@ -220,65 +282,6 @@ def _body_invweight(model: AntModel) -> np.ndarray:
     return _INVWEIGHT_CACHE[key]
 
 
-def constraint_rows(model: AntModel, kin: Kinematics, qpos, qvel,
-                    num_slots: int = NUM_CONTACT_SLOTS) -> ConstraintRows:
-    """Assemble limit + contact pyramid rows at the current state."""
-    dtype = qpos.dtype
-    k_stiff, b_damp = _kb(model)
-    margin = 2.0 * model.margin   # pair margin = sum of geom margins
-
-    # ---- joint limit rows (8, one per hinge; nearer bound) ----
-    q = qpos[model.jnt_qpos]
-    lo = jnp.asarray(model.jnt_range[:, 0], dtype)
-    hi = jnp.asarray(model.jnt_range[:, 1], dtype)
-    d_lo, d_hi = q - lo, hi - q
-    lower = d_lo <= d_hi
-    pos_lim = jnp.where(lower, d_lo, d_hi)
-    sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
-    jac_lim = jnp.zeros((8, model.nv), dtype)
-    jac_lim = jac_lim.at[jnp.arange(8), model.jnt_dof].set(sign)
-    active_lim = (pos_lim < 0.0).astype(dtype)
-    imp_lim = _impedance(model, pos_lim)
-    vel_lim = jac_lim @ qvel
-    aref_lim = -b_damp * vel_lim - k_stiff * imp_lim * pos_lim
-    r_lim = (1.0 - imp_lim) / imp_lim * jnp.asarray(
-        _dof_invweight(model), dtype
-    )[model.jnt_dof]
-
-    # ---- contacts: rank candidates, keep top-K ----
-    cpos, cdist, cn, ct1, ct2, cbody, ciw = contact_candidates(model, kin)
-    k = min(num_slots, cdist.shape[0])
-    _, idx = jax.lax.top_k(-cdist, k)
-    pos, dist = cpos[idx], cdist[idx]
-    n, t1, t2 = cn[idx], ct1[idx], ct2[idx]
-    body, iw = cbody[idx], ciw[idx]
-    active_c = (dist < margin).astype(dtype)
-
-    jp = point_jacobian(model, kin, body, pos)          # [k,nv,3]
-    jn = jnp.einsum("kvi,ki->kv", jp, n)
-    jt1 = jnp.einsum("kvi,ki->kv", jp, t1)
-    jt2 = jnp.einsum("kvi,ki->kv", jp, t2)
-    mu = model.friction
-    rows = jnp.stack(
-        [jn + mu * jt1, jn - mu * jt1, jn + mu * jt2, jn - mu * jt2], 1
-    ).reshape(4 * k, model.nv)                          # [4k,nv]
-
-    violation = dist - margin
-    imp = _impedance(model, violation)
-    vel = rows @ qvel
-    aref = -b_damp * vel - jnp.repeat(k_stiff * imp * violation, 4)
-    diag_a = 2.0 * mu * mu * (1.0 + mu * mu) * iw       # world invweight = 0
-    r_c = jnp.repeat((1.0 - imp) / imp * diag_a, 4)
-    active = jnp.concatenate([active_lim, jnp.repeat(active_c, 4)])
-
-    return ConstraintRows(
-        jac=jnp.concatenate([jac_lim, rows]),
-        aref=jnp.concatenate([aref_lim, aref]),
-        r=jnp.concatenate([r_lim, r_c]),
-        active=active,
-    )
-
-
 _DOF_INVWEIGHT_CACHE: dict = {}
 
 
@@ -294,6 +297,117 @@ def _dof_invweight(model: AntModel) -> np.ndarray:
         _DOF_INVWEIGHT_CACHE[key] = w
     return _DOF_INVWEIGHT_CACHE[key]
 
+
+# ---------------------------------------------------------------------------
+# row assembly
+# ---------------------------------------------------------------------------
+
+def constraint_rows(model: AntModel, kin, qpos, qvel,
+                    num_slots: int = NUM_CONTACT_SLOTS) -> ConstraintRows:
+    """Assemble limit + contact pyramid rows at the current state.
+
+    ``kin`` may be a :class:`Kinematics` (array view carrying ``.s``) or an
+    :class:`SKin` directly (the engine's perf path).
+    """
+    s: SKin = kin.s if isinstance(kin, Kinematics) else kin
+    dtype = qpos.dtype
+    k_stiff, b_damp = _kb(model)
+    margin = 2.0 * model.margin   # pair margin = sum of geom margins
+    nv = model.nv
+    qv = [qvel[i] for i in range(nv)]
+
+    def stack(vals):
+        return jnp.stack([
+            v if isinstance(v, jnp.ndarray) else jnp.asarray(v, dtype)
+            for v in vals
+        ]).astype(dtype)
+
+    # ---- joint limit rows (8, one per hinge; nearer bound) ----
+    lim_sign, lim_aref, lim_r, lim_active = [], [], [], []
+    dof_iw = _dof_invweight(model)
+    for j in range(8):
+        q = qpos[int(model.jnt_qpos[j])]
+        lo, hi = float(model.jnt_range[j, 0]), float(model.jnt_range[j, 1])
+        d_lo, d_hi = q - lo, hi - q
+        lower = d_lo <= d_hi
+        pos_lim = jnp.where(lower, d_lo, d_hi)
+        sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        imp = _impedance(model, pos_lim)
+        vel = sign * qv[int(model.jnt_dof[j])]
+        lim_sign.append(sign)
+        lim_aref.append(-b_damp * vel - k_stiff * imp * pos_lim)
+        lim_r.append((1.0 - imp) / imp * float(dof_iw[int(model.jnt_dof[j])]))
+        lim_active.append((pos_lim < 0.0).astype(dtype))
+
+    # ---- contacts: scalar candidates → [nc] stacks → top-K ----
+    cands = contact_candidates_s(model, s)
+    nc = len(cands)
+    k = min(num_slots, nc)
+    dist_all = stack([c["dist"] for c in cands])
+    _, idx = jax.lax.top_k(-dist_all, k)
+
+    # candidate matrix: 3*nv jacobian entries + dist, gathered in one shot
+    rows_all = []
+    for key in ("jn", "jt1", "jt2"):
+        for d in range(nv):
+            rows_all.append(stack([c[key][d] for c in cands]))
+    rows_all.append(dist_all)
+    cand_mat = jnp.stack(rows_all)                      # [3nv+1, nc]
+    sel = jnp.take(cand_mat, idx, axis=-1)              # [3nv+1, k]
+    jn = sel[0:nv]                                      # [nv, k]
+    jt1 = sel[nv:2 * nv]
+    jt2 = sel[2 * nv:3 * nv]
+    dist = sel[3 * nv]                                  # [k]
+    iw = jnp.take(
+        jnp.asarray([c["invweight"] for c in cands], dtype), idx)
+
+    violation = dist - margin
+    active_c = (dist < margin).astype(dtype)
+    imp = _impedance(model, violation)
+    qvel_col = jnp.stack([jnp.asarray(v, dtype) for v in qv])   # [nv]
+    vel_n = qvel_col @ jn                               # [k]
+    vel_t1 = qvel_col @ jt1
+    vel_t2 = qvel_col @ jt2
+    mu = model.friction
+    kd = k_stiff * imp * violation
+
+    def pyr(vn, vt, sgn):
+        vel = vn + sgn * mu * vt
+        return -b_damp * vel - kd
+
+    # pyramid order per slot: (+t1, -t1, +t2, -t2), slot-major
+    aref_c = jnp.stack(
+        [pyr(vel_n, vel_t1, 1.0), pyr(vel_n, vel_t1, -1.0),
+         pyr(vel_n, vel_t2, 1.0), pyr(vel_n, vel_t2, -1.0)], axis=-1
+    ).reshape(4 * k)
+    diag_a = 2.0 * mu * mu * (1.0 + mu * mu) * iw       # world invweight = 0
+    r_c = jnp.repeat((1.0 - imp) / imp * diag_a, 4)
+    active = jnp.concatenate([stack(lim_active), jnp.repeat(active_c, 4)])
+
+    # ---- transposed system assembly: jac_t [nv, 8 + 4k] ----
+    jac_rows = []
+    jd = {int(model.jnt_dof[j]): j for j in range(8)}
+    zero = jnp.zeros((), dtype)
+    for d in range(nv):
+        lim_row = [lim_sign[jd[d]] if d in jd and jd[d] == j else zero
+                   for j in range(8)]
+        pyrrow = jnp.stack(
+            [jn[d] + mu * jt1[d], jn[d] - mu * jt1[d],
+             jn[d] + mu * jt2[d], jn[d] - mu * jt2[d]], axis=-1
+        ).reshape(4 * k)
+        jac_rows.append(jnp.concatenate([stack(lim_row), pyrrow]))
+
+    return ConstraintRows(
+        jac_t=jnp.stack(jac_rows),
+        aref=jnp.concatenate([stack(lim_aref), aref_c]),
+        r=jnp.concatenate([stack(lim_r), r_c]),
+        active=active,
+    )
+
+
+# ---------------------------------------------------------------------------
+# solvers
+# ---------------------------------------------------------------------------
 
 def solve_constraints(model: AntModel, M, qacc_smooth, rows: ConstraintRows,
                       iters: int = 250, f0=None):
@@ -353,25 +467,27 @@ def solve_constraints_newton(model: AntModel, M, qacc_smooth,
     is ~8 batched 14×14 Cholesky solves + J matvecs instead of hundreds of
     [ne,ne] matvecs.  The exact line search along each Newton direction is
     a fixed ``ls_iters``-step bisection on the monotone derivative φ'(α)
-    (φ is convex piecewise-quadratic along any ray).
+    (φ is convex piecewise-quadratic along any ray).  All matvecs ride the
+    ``jac_t`` [nv,ne] layout — contraction over the packed ne axis.
     """
     dtype = qacc_smooth.dtype
-    j = rows.jac
+    jt = rows.jac_t                                     # [nv, ne]
     d = rows.active / jnp.maximum(rows.r, 1e-12)        # D_i, masked
+
     q0 = qacc_smooth if qacc0 is None else qacc0
 
     def force(jq):
         return -d * jnp.minimum(jq - rows.aref, 0.0)
 
     def body(_, q):
-        jq = j @ q
+        jq = q @ jt                                     # [ne]
         f = force(jq)
-        grad = M @ (q - qacc_smooth) - j.T @ f
+        grad = M @ (q - qacc_smooth) - jt @ f
         act = d * (jq - rows.aref < 0.0)
-        h = M + jnp.einsum("e,ev,ew->vw", act, j, j)
+        h = M + (jt * act) @ jt.T                       # [nv,nv]
         dq = -chol_solve(h, grad)
         # exact line search: bisect φ'(α) on [0, 2]
-        jdq = j @ dq
+        jdq = dq @ jt
         mdq = M @ dq
         g0 = jnp.dot(dq, M @ (q - qacc_smooth))
         gq = jnp.dot(dq, mdq)
@@ -395,4 +511,4 @@ def solve_constraints_newton(model: AntModel, M, qacc_smooth,
         return q + alpha * dq
 
     q = jax.lax.fori_loop(0, iters, body, q0)
-    return q, force(j @ q)
+    return q, force(q @ jt)

@@ -3,12 +3,15 @@
 Mirrors MuJoCo's pipeline (``mj_forward`` → ``mj_RungeKutta``), reference
 substrate for ``gym_po/envs/ant_tag.py:138-158``:
 
-* ``forward`` = smooth dynamics (:mod:`.dynamics`) + constraint solve
-  (:mod:`.contact`), returning ``qacc``.
+* ``forward`` = smooth dynamics (:mod:`.dynamics`, scalar core) + constraint
+  solve (:mod:`.contact`), returning ``qacc``.
 * ``rk4_step`` = the classic 4-stage tableau on the qpos manifold: stage
   positions integrate the *averaged stage velocities* from the step's start
   via the quaternion exponential map, exactly like ``mj_RungeKutta`` +
-  ``mj_integratePos``.
+  ``mj_integratePos``.  RK4's tableau here has one nonzero per row, so the
+  four stages are expressed as a 4-iteration ``lax.scan`` whose body holds
+  ONE ``forward`` — the jitted graph contains a single copy of the (large,
+  fully scalarized) dynamics trace instead of four.
 * ``step`` = ``frame_skip`` RK4 steps with the control held (the envs use
   frame_skip=15 → dt_env = 0.3 s), rolled with ``lax.scan``.
 
@@ -16,8 +19,8 @@ The constraint solve is the primal Newton method
 (:func:`gym_po_tpu.physics.contact.solve_constraints_newton`) — ~8-12
 iterations to MuJoCo's exact fixed point — warm-started across stages and
 frames with the previous constraint correction.  Everything is single-env
-and pure; batch with ``jax.vmap`` — under vmap the per-stage 14×14
-Cholesky factorizations and J matvecs become batched MXU work.
+and pure; batch with ``jax.vmap`` — all hot intermediates are shape-()
+scalars (→ [B] lane vectors under vmap), see ``docs/PHYSICS.md``.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ import jax.numpy as jnp
 
 from .ant_model import AntModel
 from .contact import constraint_rows, solve_constraints_newton
-from .dynamics import smooth_forward
+from .dynamics import smooth_forward_s
 from .spatial import quat_integrate, quat_normalize
 
 __all__ = [
@@ -58,8 +61,13 @@ def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
     ``qacc - qacc_smooth``; Newton starts from ``qacc_smooth + warm``
     (zero warm start == the unconstrained solution, already correct for
     contact-free frames)."""
-    kin, M, qacc_smooth, _ = smooth_forward(model, qpos, qvel, ctrl)
-    rows = constraint_rows(model, kin, qpos, qvel)
+    dtype = qpos.dtype
+    skin, M_s, qacc_s, _ = smooth_forward_s(model, qpos, qvel, ctrl)
+    M = jnp.stack([
+        jnp.stack([jnp.asarray(x, dtype) for x in row]) for row in M_s
+    ])
+    qacc_smooth = jnp.stack([jnp.asarray(x, dtype) for x in qacc_s])
+    rows = constraint_rows(model, skin, qpos, qvel)
     q0 = qacc_smooth if warm is None else qacc_smooth + warm
     qacc, _ = solve_constraints_newton(model, M, qacc_smooth, rows,
                                        iters=iters, qacc0=q0)
@@ -75,29 +83,33 @@ def _integrate_pos(model: AntModel, qpos, qvel_avg, dt):
     return jnp.concatenate([pos, quat, hinges])
 
 
-_RK_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+# stage position/velocity coefficients and quadrature weights; the classic
+# tableau's A has a single nonzero per row, so stage i only needs stage i-1
+_RK_C = (0.0, 0.5, 0.5, 1.0)
 _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
 def rk4_step(model: AntModel, state: PhysicsState, ctrl,
              iters: int = 10) -> PhysicsState:
-    """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``)."""
+    """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``).
+
+    Rolled as a 4-stage ``lax.scan`` (one ``forward`` in the trace)."""
     dt = model.dt
+    dtype = state.qpos.dtype
     qpos0, qvel0 = state.qpos, state.qvel
-    qacc, w = forward(model, qpos0, qvel0, ctrl, state.warm, iters)
-    vels = [qvel0]
-    accs = [qacc]
-    for i in range(3):
-        a_row = _RK_A[i]
-        dvel = sum(a_row[j] * accs[j] for j in range(i + 1))
-        dpos_vel = sum(a_row[j] * vels[j] for j in range(i + 1))
-        qpos_i = _integrate_pos(model, qpos0, dpos_vel, dt)
-        qvel_i = qvel0 + dt * dvel
-        qacc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters)
-        vels.append(qvel_i)
-        accs.append(qacc_i)
-    vel_avg = sum(b * v for b, v in zip(_RK_B, vels))
-    acc_avg = sum(b * a for b, a in zip(_RK_B, accs))
+    zeros = jnp.zeros_like(qvel0)
+
+    def stage(carry, cb):
+        vel_prev, acc_prev, vsum, asum, w = carry
+        c, b = cb
+        qpos_i = _integrate_pos(model, qpos0, c * vel_prev, dt)
+        qvel_i = qvel0 + (dt * c) * acc_prev
+        acc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters)
+        return (qvel_i, acc_i, vsum + b * qvel_i, asum + b * acc_i, w), ()
+
+    cb = (jnp.asarray(_RK_C, dtype), jnp.asarray(_RK_B, dtype))
+    (_, _, vel_avg, acc_avg, w), _ = jax.lax.scan(
+        stage, (qvel0, zeros, zeros, zeros, state.warm), cb)
     return PhysicsState(
         _integrate_pos(model, qpos0, vel_avg, dt),
         qvel0 + dt * acc_avg,

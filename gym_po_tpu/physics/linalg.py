@@ -18,11 +18,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["chol_solve"]
+__all__ = ["chol_solve", "chol_solve_s"]
 
 
-def chol_solve(H, g):
-    """Solve ``H x = g`` for SPD ``H`` ([..., n, n]) and ``g`` ([..., n]).
+def chol_solve_s(H, g):
+    """Scalar-core solve: ``H`` is an n×n nested list and ``g`` a length-n
+    list of [...]-shaped scalars; returns a list of n scalars.
 
     Cholesky factorization + two triangular substitutions, fully unrolled
     over ``n`` at trace time.  All intermediate values are [...]-shaped
@@ -30,23 +31,23 @@ def chol_solve(H, g):
     elementwise vector ops — no while loops, no dynamic slices.  Intended
     for n <= ~20 (op count grows as O(n^3) in trace size).
     """
-    n = H.shape[-1]
+    n = len(g)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
-        s = H[..., j, j]
+        s = H[j][j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
         d = jnp.sqrt(s)
         L[j][j] = d
         inv = 1.0 / d
         for i in range(j + 1, n):
-            s = H[..., i, j]
+            s = H[i][j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv
     y = [None] * n
     for i in range(n):
-        s = g[..., i]
+        s = g[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
@@ -56,4 +57,14 @@ def chol_solve(H, g):
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return jnp.stack(x, axis=-1)
+    return x
+
+
+def chol_solve(H, g):
+    """Solve ``H x = g`` for SPD ``H`` ([..., n, n]) and ``g`` ([..., n]):
+    the array view over :func:`chol_solve_s` (scalar indexing in, stack
+    out — both ends fuse away under jit)."""
+    n = H.shape[-1]
+    Hs = [[H[..., i, j] for j in range(n)] for i in range(n)]
+    gs = [g[..., i] for i in range(n)]
+    return jnp.stack(chol_solve_s(Hs, gs), axis=-1)
