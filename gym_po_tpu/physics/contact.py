@@ -2,21 +2,26 @@
 
 Replicates MuJoCo's constraint pipeline for the ant arenas (the substrate
 under reference ``gym_po/envs/ant_tag.py:138-158``), reverse-engineered
-against ``mjData.efc_*`` and validated row-for-row in
+against ``mjData.efc_*`` / ``mjData.contact`` and validated row-for-row in
 ``tests/test_physics_contact.py``:
 
 * **Candidates** (static shapes, no dynamic contact lists):
   - floor: the torso sphere + both endpoint spheres of each leg capsule vs
     the z=0 plane — exactly MuJoCo's plane-capsule/plane-sphere contacts,
     25 candidates;
-  - walls: every endpoint sphere vs each axis-aligned wall box
-    (sphere-vs-box closest point).  MuJoCo runs a full capsule-box collider
-    here; the endpoint approximation changes side-on wall scrapes slightly
-    but is exact for end-on contact (documented divergence).
-* **Top-K slots**: candidates are ranked by signed distance and the K
-  deepest become constraint slots; rows with ``dist ≥ margin`` are masked
-  (force pinned to 0), matching MuJoCo's inclusion rule while keeping XLA
-  shapes static.
+  - walls: MuJoCo's capsule-box collider, reverse-engineered from
+    ``mjData.contact`` probes (see :func:`_capsule_box_slots_s`): the
+    start and end of the convex segment↔box distance's minimizing set
+    (one short f′ bisection each + exact closed-form refinement;
+    nearest-face handling inside the box) plus, when they coincide, the
+    deepest non-coincident endpoint sphere.  Plus the torso sphere vs
+    each box.  3 slots per capsule×wall-slot + 1 — static shapes; mirror
+    wall pairs fold into one slot (:func:`_wall_slots`).
+* **All candidates become rows**: a candidate with ``dist ≥ margin`` is
+  masked (force pinned to 0) — exactly MuJoCo's inclusion rule.  (An
+  earlier generation kept only the top-K deepest candidates; with the
+  scalar solver below the full static row set is cheaper than the gather
+  it replaced, and exact.)
 * **Soft constraints**: per row, impedance d(pos) from solimp, and
   ``aref = -B·vel - K·d·(pos - margin)`` with
   ``tc_eff = max(solref[0], 2·dt)``, ``B = 2/(dmax·tc_eff)``,
@@ -25,19 +30,20 @@ against ``mjData.efc_*`` and validated row-for-row in
   and ``dof_invweight0`` for joint limits (all verified against efc_KBIP /
   efc_R to 1e-6).
 * **Solver**: primal Newton in qacc space (MuJoCo's own solver shape) —
-  see :func:`solve_constraints_newton`; the APGD dual solve is kept as
-  :func:`solve_constraints` (tested, 2.3x slower, HBM-infeasible at large
-  batch).
+  the perf path is :func:`solve_constraints_newton_s`, operating on the
+  scalar row structure with **static per-row dof sparsity** (a contact row
+  touches ≤ 9 of the 14 dofs; a limit row exactly 1), so under ``vmap``
+  every Newton iteration is straight-line [B]-vector code — no batched
+  tiny matmuls (measured 95% of forward time in the array formulation) and
+  no gathers.  :func:`solve_constraints_newton` (array) and the APGD dual
+  :func:`solve_constraints` are kept for tests/back-compat.
 
-TPU-first layout (second generation): every per-candidate quantity is a
-shape-() *scalar* computed for all candidates with their **static** body →
-active-dof sparsity (the Jacobian dot uses ``(u×(pos−p))·n = u·((pos−p)×n)``
-so the three free-rotation entries are one ``R₀ᵀ m`` product), then stacked
-into well-packed ``[nc]`` lane vectors only for the ``top_k`` selection.
-The assembled system is stored **transposed**, ``jac_t ∈ [nv, ne]`` — a
-``(16,128)`` TPU tile instead of the 9x-padded ``[ne, nv]`` layout.  The
-first-generation ``[ne,nv]``/gather formulation was bandwidth-bound on lane
-padding (see ``docs/PHYSICS.md``).
+TPU-first layout (third generation): every per-candidate and per-row
+quantity is a shape-() *scalar* with **static** body → active-dof sparsity
+(the Jacobian dot uses ``(u×(pos−p))·n = u·((pos−p)×n)`` so the three
+free-rotation entries are one ``R₀ᵀ m`` product).  Nothing is stacked on
+the perf path; the :class:`ConstraintRows` array view exists for the
+oracle tests and the APGD solver.
 """
 
 from __future__ import annotations
@@ -50,15 +56,15 @@ import numpy as np
 
 from .ant_model import AntModel
 from .dynamics import (
-    Kinematics, SKin, mt_vec, m_vec, v_add, v_cross, v_dot, v_scale, v_sub,
+    Kinematics, SKin, _is0, mt_vec, m_vec, v_add, v_cross, v_dot, v_scale,
+    v_sub,
 )
-from .linalg import chol_solve
+from .linalg import chol_solve, chol_solve_s
 
-__all__ = ["constraint_rows", "solve_constraints",
-           "solve_constraints_newton", "ConstraintRows",
-           "NUM_CONTACT_SLOTS"]
+__all__ = ["constraint_rows", "constraint_rows_scalar", "solve_constraints",
+           "solve_constraints_newton", "solve_constraints_newton_s",
+           "ConstraintRows"]
 
-NUM_CONTACT_SLOTS = 24
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 
 
@@ -184,13 +190,250 @@ def _jrow_entries(model: AntModel, s: SKin, pos, dirs, body: int):
     return rows
 
 
+def _capsules_s(model: AntModel, s: SKin):
+    """World endpoints of each capsule geom (geoms 1..) →
+    list of (p0 3-tuple, p1 3-tuple, radius float, body id int)."""
+    out = []
+    for g in range(1, len(model.geom_body)):
+        b = int(model.geom_body[g])
+        gpos = tuple(float(x) for x in model.geom_pos[g])
+        gaxis = tuple(float(x) for x in model.geom_axis[g])
+        r = float(model.geom_r[g])
+        h = float(model.geom_h[g])
+        R = s.xmat[b]
+        center = v_add(s.xpos[b], m_vec(R, gpos))
+        axis_w = m_vec(R, gaxis)
+        out.append((v_sub(center, v_scale(h, axis_w)),
+                    v_add(center, v_scale(h, axis_w)), r, b))
+    return out
+
+
+def _sphere_box_s(c, r, lo, hi):
+    """Sphere (center ``c``, radius ``r``) vs static AABB [lo, hi], scalar.
+
+    Returns (dist, n 3-tuple, pos 3-tuple, outside bool-scalar) matching
+    MuJoCo's ``mjc_SphereBox``: outside the box, the closest-point formula;
+    with the center inside, the nearest face (probed against
+    ``mjData.contact`` — normal = that face's outward axis, depth = face
+    depth + r).  ``n`` points from the box toward the sphere (our row
+    convention; MuJoCo's frame normal is the opposite geom1→geom2 sign,
+    the J/aref rows agree — see tests)."""
+    cp = tuple(jnp.clip(c[k], lo[k], hi[k]) for k in range(3))
+    delta = v_sub(c, cp)
+    dn = jnp.sqrt(v_dot(delta, delta))
+    outside = dn > 1e-12
+    inv = 1.0 / jnp.where(outside, dn, 1.0)
+
+    # inside: nearest of the 6 faces (depth ≥ 0 when truly inside)
+    best_d = hi[0] - c[0]
+    best_n = (1.0, 0.0, 0.0)
+    for k, (d_k, n_k) in enumerate(
+        [(c[0] - lo[0], (-1.0, 0.0, 0.0)),
+         (hi[1] - c[1], (0.0, 1.0, 0.0)),
+         (c[1] - lo[1], (0.0, -1.0, 0.0)),
+         (hi[2] - c[2], (0.0, 0.0, 1.0)),
+         (c[2] - lo[2], (0.0, 0.0, -1.0))]
+    ):
+        better = d_k < best_d
+        best_n = tuple(jnp.where(better, n_k[i], best_n[i]) for i in range(3))
+        best_d = jnp.where(better, d_k, best_d)
+
+    dist = jnp.where(outside, dn - r, -(best_d + r))
+    n = tuple(jnp.where(outside, delta[k] * inv, best_n[k]) for k in range(3))
+    pos = v_sub(c, v_scale(r + 0.5 * dist, n))
+    return dist, n, pos, outside
+
+
+def _capsule_box_slots_s(p0, p1, r, lo, hi, bisect_iters: int = 10):
+    """Capsule segment (p0→p1, radius r) vs static AABB — MuJoCo's
+    ``mjc_CapsuleBox`` behavior, reverse-engineered from ``mjData.contact``
+    probes (a single free capsule vs one box swept over face / edge /
+    parallel / past-the-end / under-the-box / inside configurations, plus
+    the ant-vs-wall row-parity tests):
+
+    The squared point-box distance f(t) along the segment is convex, so its
+    minimizing set is a point or a flat interval.  MuJoCo's (up to two)
+    contacts are reproduced by:
+
+    * **slot 1** — the *start* of the minimizing set (bisection on the
+      monotone f′ with predicate ``f′ ≥ 0``, snap ``f′(0) ≥ 0 → 0``,
+      ``f′(1) < 0 → 1``), e.g. the in-extent endpoint of a capsule lying
+      parallel past a wall's end;
+    * **slot 2** — the *end* of the minimizing set (predicate ``f′ > 0``,
+      snap ``f′(1) ≤ 0 → 1``, ``f′(0) > 0 → 0``), e.g. the box-end edge
+      crossing of that same capsule; masked when it coincides with slot 1
+      or its point lies inside the box (probed: inside ties → 1 contact);
+    * **slot 3** — only when slots 1/2 coincide (unique minimizer): the
+      deepest endpoint sphere not coincident with it, outside the box —
+      this is MuJoCo's second contact for an almost-parallel capsule whose
+      both ends touch, and for a capsule wedged under the box's bottom
+      edge.
+
+    Each bisection is refined to the exact minimizer by the closed-form
+    quadratic solve over the active residual pattern (taken at the upper
+    bracket, falling back to the lower — the union handles u_k = 0 axes on
+    flat boundaries), so contact positions are exact to f64 for the parity
+    tests, not 2^-iters.  Contact geometry at each point comes from
+    :func:`_sphere_box_s` (inside-box points → nearest face).
+
+    Known divergence (documented): for a capsule fully inside the box and
+    parallel to a face, MuJoCo's tie-break picks the opposite endpoint;
+    dist/normal agree, only the contact position (torque arm) differs.
+
+    Returns three (dist, n, pos, valid) tuples."""
+    u = v_sub(p1, p0)
+
+    def at(t):
+        return v_add(p0, v_scale(t, u))
+
+    def resid(pt):
+        return tuple(
+            jnp.maximum(pt[k] - hi[k], 0.0) + jnp.minimum(pt[k] - lo[k], 0.0)
+            for k in range(3)
+        )
+
+    def fprime(t):
+        return v_dot(u, resid(at(t)))
+
+    zero = jnp.zeros_like(p0[0])
+    one = zero + 1.0
+    fp0, fp1 = fprime(zero), fprime(one)
+
+    def closed_form(lo_t, hi_t):
+        out = []
+        for t_ref in (hi_t, lo_t):
+            rb = resid(at(t_ref))
+            num, den = zero, zero
+            for k in range(3):
+                act = (rb[k] > 0.0) | (rb[k] < 0.0)
+                target = jnp.where(rb[k] > 0.0, hi[k], lo[k])
+                num = num + jnp.where(act, u[k] * (target - p0[k]), 0.0)
+                den = den + jnp.where(act, u[k] * u[k], 0.0)
+            out.append((num, den))
+        (n_hi, d_hi), (n_lo, d_lo) = out
+        num = jnp.where(d_hi > 1e-12, n_hi, n_lo)
+        den = jnp.where(d_hi > 1e-12, d_hi, d_lo)
+        t = num / jnp.maximum(den, 1e-12)
+        return jnp.where(den > 1e-12, jnp.clip(t, 0.0, 1.0),
+                         0.5 * (lo_t + hi_t))
+
+    def line_t(strict):
+        lo_t, hi_t = zero, one
+        for _ in range(bisect_iters):
+            mid = 0.5 * (lo_t + hi_t)
+            up = fprime(mid) > 0.0 if strict else fprime(mid) >= 0.0
+            lo_t = jnp.where(up, lo_t, mid)
+            hi_t = jnp.where(up, mid, hi_t)
+        t = closed_form(lo_t, hi_t)
+        if strict:      # flat-end variant
+            return jnp.where(fp1 <= 0.0, 1.0, jnp.where(fp0 > 0.0, 0.0, t))
+        return jnp.where(fp0 >= 0.0, 0.0, jnp.where(fp1 < 0.0, 1.0, t))
+
+    t1 = line_t(strict=False)
+    t2 = line_t(strict=True)
+    d_e0, n_e0, p_e0, out0 = _sphere_box_s(p0, r, lo, hi)
+    d_e1, n_e1, p_e1, out1 = _sphere_box_s(p1, r, lo, hi)
+
+    # endpoint-inside override (probed): when an endpoint's center lies
+    # inside the box, MuJoCo reports THAT endpoint (nearest face) as the
+    # single contact — not the segment's box-entry point
+    inside = ~out0 | ~out1
+    pick_in1 = jnp.where(~out0 & ~out1, d_e1 <= d_e0, ~out1)
+    t1 = jnp.where(inside, jnp.where(pick_in1, 1.0, 0.0), t1)
+
+    dist1, n1, pos1, _ = _sphere_box_s(at(t1), r, lo, hi)
+    dist2, n2, pos2, outside2 = _sphere_box_s(at(t2), r, lo, hi)
+    unique = jnp.abs(t2 - t1) <= 1e-6
+    valid2 = outside2 & ~unique & ~inside
+
+    # slot 3: deepest eligible endpoint when the minimizer is unique
+    big = 1e9
+    e0 = jnp.where(out0 & (t1 > 1e-6), d_e0, big)
+    e1 = jnp.where(out1 & (t1 < 1.0 - 1e-6), d_e1, big)
+    pick1 = e1 < e0
+    dist3 = jnp.where(pick1, e1, e0)
+    n3 = tuple(jnp.where(pick1, n_e1[k], n_e0[k]) for k in range(3))
+    pos3 = tuple(jnp.where(pick1, p_e1[k], p_e0[k]) for k in range(3))
+    valid3 = unique & ~inside & (dist3 < big * 0.5)
+    return ((dist1, n1, pos1, jnp.asarray(True)),
+            (dist2, n2, pos2, valid2),
+            (dist3, n3, pos3, valid3))
+
+
+def _wall_slots(walls):
+    """Group static wall boxes into mirror-pair slots.
+
+    Arena walls come in x- or y-mirror pairs separated by far more than the
+    ant's reach (TAG: 10 m, HH: ≥ 4 m vs ≤ 0.8 m capsule reach), so any
+    query point can be in contact with at most the nearer wall of a pair —
+    folding a pair into ONE candidate slot whose AABB bounds are selected
+    by the query point's sign halves the wall constraint rows at zero
+    fidelity loss.  Returns a list of (bounds_pos, bounds_neg|None, axis):
+    ``bounds = (lo 3-tuple, hi 3-tuple)`` static floats; for paired slots
+    ``bounds_pos`` is the wall on the positive side of ``axis``."""
+    walls = np.asarray(walls, dtype=np.float64)
+
+    def bounds(w):
+        return (tuple(float(x) for x in w[:3] - w[3:]),
+                tuple(float(x) for x in w[:3] + w[3:]))
+
+    used = set()
+    slots = []
+    for i in range(len(walls)):
+        if i in used:
+            continue
+        paired = None
+        for j in range(i + 1, len(walls)):
+            if j in used:
+                continue
+            for ax in (0, 1):
+                mirror = walls[i].copy()
+                mirror[ax] = -mirror[ax]
+                # pair only when the gap dwarfs the ant's ~0.8 m reach
+                gap = 2.0 * (abs(walls[i][ax]) - walls[i][3 + ax])
+                if np.allclose(mirror, walls[j]) and gap > 2.0:
+                    paired = (j, ax)
+                    break
+            if paired:
+                break
+        if paired:
+            j, ax = paired
+            used.add(j)
+            pos, neg = (i, j) if walls[i][ax] > 0 else (j, i)
+            slots.append((bounds(walls[pos]), bounds(walls[neg]), ax))
+        else:
+            slots.append((bounds(walls[i]), None, None))
+    return slots
+
+
+def _select_bounds(slot, point):
+    """Slot bounds for a query point: static floats for unpaired slots,
+    sign-selected traced scalars for mirror pairs."""
+    bpos, bneg, ax = slot
+    if bneg is None:
+        return bpos
+    sel = point[ax] > 0.0
+    lo = tuple(jnp.where(sel, bpos[0][k], bneg[0][k]) for k in range(3))
+    hi = tuple(jnp.where(sel, bpos[1][k], bneg[1][k]) for k in range(3))
+    return lo, hi
+
+
 def contact_candidates_s(model: AntModel, s: SKin):
     """All candidate contacts in scalar form → list of dicts with keys
     ``dist`` (scalar), ``jn``/``jt1``/``jt2`` (length-nv scalar lists),
-    ``invweight`` (static float).  nc = 25 + 25·n_walls, static order."""
+    ``invweight`` (static float).  nc = 25 + (3·n_capsules + 1)·n_slots,
+    static order: floor spheres, then per wall slot (torso, capsule
+    triples)."""
     spheres = _sphere_centers_s(model, s)
+    capsules = _capsules_s(model, s)
     inv0 = _body_invweight(model)
     cands = []
+
+    def emit(dist, n, pos, body):
+        t1, t2 = _make_frame_s(n)
+        jn, jt1, jt2 = _jrow_entries(model, s, pos, (n, t1, t2), body)
+        cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
+                          invweight=float(inv0[body])))
 
     # floor plane z=0: n = ẑ (static frame for the torso sphere)
     for c, b, r, axis_w, is_sphere in spheres:
@@ -205,27 +448,19 @@ def contact_candidates_s(model: AntModel, s: SKin):
         cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
                           invweight=float(inv0[b])))
 
-    # walls: sphere vs axis-aligned box closest point (static bounds)
-    for w in np.asarray(model.walls):
-        wc, wh = w[:3], w[3:]
-        lo = tuple(float(x) for x in wc - wh)
-        hi = tuple(float(x) for x in wc + wh)
-        for c, b, r, _, _ in spheres:
-            cp = tuple(jnp.clip(c[k], lo[k], hi[k]) for k in range(3))
-            delta = v_sub(c, cp)
-            dn = jnp.sqrt(v_dot(delta, delta))
-            safe = dn > 1e-9
-            inv = 1.0 / jnp.where(safe, dn, 1.0)
-            n = tuple(
-                jnp.where(safe, delta[k] * inv, 1.0 if k == 2 else 0.0)
-                for k in range(3)
-            )
-            dist = jnp.where(safe, dn - r, -r)
-            pos = v_sub(c, v_scale(r + 0.5 * dist, n))
-            t1, t2 = _make_frame_s(n)
-            jn, jt1, jt2 = _jrow_entries(model, s, pos, (n, t1, t2), b)
-            cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
-                              invweight=float(inv0[b])))
+    # wall slots (mirror-paired AABBs): torso sphere + MuJoCo capsule-box
+    torso_c, torso_b, torso_r, _, _ = spheres[0]
+    big = 1e9
+    for slot in _wall_slots(model.walls):
+        lo, hi = _select_bounds(slot, torso_c)
+        dist, n, pos, _ = _sphere_box_s(torso_c, torso_r, lo, hi)
+        emit(dist, n, pos, torso_b)
+        for p0, p1, r, b in capsules:
+            mid = v_scale(0.5, v_add(p0, p1))
+            lo, hi = _select_bounds(slot, mid)
+            for d_i, n_i, q_i, valid in _capsule_box_slots_s(
+                    p0, p1, r, lo, hi):
+                emit(jnp.where(valid, d_i, big), n_i, q_i, b)
     return cands
 
 
@@ -302,106 +537,85 @@ def _dof_invweight(model: AntModel) -> np.ndarray:
 # row assembly
 # ---------------------------------------------------------------------------
 
-def constraint_rows(model: AntModel, kin, qpos, qvel,
-                    num_slots: int = NUM_CONTACT_SLOTS) -> ConstraintRows:
-    """Assemble limit + contact pyramid rows at the current state.
+def constraint_rows_scalar(model: AntModel, s: SKin, qpos, qvel):
+    """Scalar row structure — the perf path's native form.
 
-    ``kin`` may be a :class:`Kinematics` (array view carrying ``.s``) or an
-    :class:`SKin` directly (the engine's perf path).
-    """
-    s: SKin = kin.s if isinstance(kin, Kinematics) else kin
-    dtype = qpos.dtype
+    Returns a list of dicts ``{"j": length-nv list (Python-float 0.0 for
+    structurally-inactive dofs — static sparsity), "aref", "r", "active"}``:
+    the 8 joint-limit rows, then 4 pyramid rows per contact candidate in
+    candidate order (+t1, −t1, +t2, −t2).  Every value is a shape-()
+    scalar; under ``vmap`` each becomes a [B] lane vector."""
     k_stiff, b_damp = _kb(model)
     margin = 2.0 * model.margin   # pair margin = sum of geom margins
     nv = model.nv
     qv = [qvel[i] for i in range(nv)]
-
-    def stack(vals):
-        return jnp.stack([
-            v if isinstance(v, jnp.ndarray) else jnp.asarray(v, dtype)
-            for v in vals
-        ]).astype(dtype)
+    dof_iw = _dof_invweight(model)
+    rows = []
 
     # ---- joint limit rows (8, one per hinge; nearer bound) ----
-    lim_sign, lim_aref, lim_r, lim_active = [], [], [], []
-    dof_iw = _dof_invweight(model)
     for j in range(8):
         q = qpos[int(model.jnt_qpos[j])]
         lo, hi = float(model.jnt_range[j, 0]), float(model.jnt_range[j, 1])
         d_lo, d_hi = q - lo, hi - q
         lower = d_lo <= d_hi
         pos_lim = jnp.where(lower, d_lo, d_hi)
-        sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+        sign = jnp.where(lower, 1.0, -1.0)
         imp = _impedance(model, pos_lim)
-        vel = sign * qv[int(model.jnt_dof[j])]
-        lim_sign.append(sign)
-        lim_aref.append(-b_damp * vel - k_stiff * imp * pos_lim)
-        lim_r.append((1.0 - imp) / imp * float(dof_iw[int(model.jnt_dof[j])]))
-        lim_active.append((pos_lim < 0.0).astype(dtype))
+        dof = int(model.jnt_dof[j])
+        jrow = [0.0] * nv
+        jrow[dof] = sign
+        rows.append(dict(
+            j=jrow,
+            aref=-b_damp * (sign * qv[dof]) - k_stiff * imp * pos_lim,
+            r=(1.0 - imp) / imp * float(dof_iw[dof]),
+            active=pos_lim < 0.0,
+        ))
 
-    # ---- contacts: scalar candidates → [nc] stacks → top-K ----
-    cands = contact_candidates_s(model, s)
-    nc = len(cands)
-    k = min(num_slots, nc)
-    dist_all = stack([c["dist"] for c in cands])
-    _, idx = jax.lax.top_k(-dist_all, k)
-
-    # candidate matrix: 3*nv jacobian entries + dist, gathered in one shot
-    rows_all = []
-    for key in ("jn", "jt1", "jt2"):
-        for d in range(nv):
-            rows_all.append(stack([c[key][d] for c in cands]))
-    rows_all.append(dist_all)
-    cand_mat = jnp.stack(rows_all)                      # [3nv+1, nc]
-    sel = jnp.take(cand_mat, idx, axis=-1)              # [3nv+1, k]
-    jn = sel[0:nv]                                      # [nv, k]
-    jt1 = sel[nv:2 * nv]
-    jt2 = sel[2 * nv:3 * nv]
-    dist = sel[3 * nv]                                  # [k]
-    iw = jnp.take(
-        jnp.asarray([c["invweight"] for c in cands], dtype), idx)
-
-    violation = dist - margin
-    active_c = (dist < margin).astype(dtype)
-    imp = _impedance(model, violation)
-    qvel_col = jnp.stack([jnp.asarray(v, dtype) for v in qv])   # [nv]
-    vel_n = qvel_col @ jn                               # [k]
-    vel_t1 = qvel_col @ jt1
-    vel_t2 = qvel_col @ jt2
+    # ---- contact pyramid rows (4 per candidate) ----
     mu = model.friction
-    kd = k_stiff * imp * violation
+    for c in contact_candidates_s(model, s):
+        dist = c["dist"]
+        violation = dist - margin
+        active = dist < margin
+        imp = _impedance(model, violation)
+        vel_n = v_dot(qv, c["jn"])
+        kd = k_stiff * imp * violation
+        r_c = ((1.0 - imp) / imp
+               * (2.0 * mu * mu * (1.0 + mu * mu) * c["invweight"]))
+        for tkey in ("jt1", "jt2"):
+            jt = c[tkey]
+            vel_t = v_dot(qv, jt)
+            for sgn in (1.0, -1.0):
+                rows.append(dict(
+                    j=[c["jn"][d] + sgn * mu * jt[d] for d in range(nv)],
+                    aref=-b_damp * (vel_n + sgn * mu * vel_t) - kd,
+                    r=r_c,
+                    active=active,
+                ))
+    return rows
 
-    def pyr(vn, vt, sgn):
-        vel = vn + sgn * mu * vt
-        return -b_damp * vel - kd
 
-    # pyramid order per slot: (+t1, -t1, +t2, -t2), slot-major
-    aref_c = jnp.stack(
-        [pyr(vel_n, vel_t1, 1.0), pyr(vel_n, vel_t1, -1.0),
-         pyr(vel_n, vel_t2, 1.0), pyr(vel_n, vel_t2, -1.0)], axis=-1
-    ).reshape(4 * k)
-    diag_a = 2.0 * mu * mu * (1.0 + mu * mu) * iw       # world invweight = 0
-    r_c = jnp.repeat((1.0 - imp) / imp * diag_a, 4)
-    active = jnp.concatenate([stack(lim_active), jnp.repeat(active_c, 4)])
+def constraint_rows(model: AntModel, kin, qpos, qvel) -> ConstraintRows:
+    """Array view over :func:`constraint_rows_scalar` (oracle tests + the
+    APGD/array solvers): all rows stacked, ``jac_t ∈ [nv, ne]``.
 
-    # ---- transposed system assembly: jac_t [nv, 8 + 4k] ----
-    jac_rows = []
-    jd = {int(model.jnt_dof[j]): j for j in range(8)}
-    zero = jnp.zeros((), dtype)
-    for d in range(nv):
-        lim_row = [lim_sign[jd[d]] if d in jd and jd[d] == j else zero
-                   for j in range(8)]
-        pyrrow = jnp.stack(
-            [jn[d] + mu * jt1[d], jn[d] - mu * jt1[d],
-             jn[d] + mu * jt2[d], jn[d] - mu * jt2[d]], axis=-1
-        ).reshape(4 * k)
-        jac_rows.append(jnp.concatenate([stack(lim_row), pyrrow]))
+    ``kin`` may be a :class:`Kinematics` (array view carrying ``.s``) or an
+    :class:`SKin` directly."""
+    s: SKin = kin.s if isinstance(kin, Kinematics) else kin
+    dtype = qpos.dtype
+    rows = constraint_rows_scalar(model, s, qpos, qvel)
+
+    def stack(vals):
+        return jnp.stack([jnp.asarray(v, dtype) for v in vals])
 
     return ConstraintRows(
-        jac_t=jnp.stack(jac_rows),
-        aref=jnp.concatenate([stack(lim_aref), aref_c]),
-        r=jnp.concatenate([stack(lim_r), r_c]),
-        active=active,
+        jac_t=jnp.stack(
+            [stack([row["j"][d] for row in rows])
+             for d in range(model.nv)]
+        ),
+        aref=stack([row["aref"] for row in rows]),
+        r=stack([row["r"] for row in rows]),
+        active=stack([row["active"] for row in rows]),
     )
 
 
@@ -419,13 +633,16 @@ def solve_constraints(model: AntModel, M, qacc_smooth, rows: ConstraintRows,
     uses the ∞-norm upper bound on λmax(A+R), and Nesterov momentum is
     restarted on non-monotone steps (gradient-mapping test).
     """
-    j = rows.jac
+    # inactive rows are pinned to f=0 by projection; mask them out of the
+    # matrix too, so the ∞-norm Lipschitz estimate isn't poisoned by masked
+    # candidates' sentinel distances (their aref/R can be huge)
+    j = rows.jac * rows.active[:, None]
     # X = M⁻¹ Jᵀ via Cholesky (M is SPD)
     chol = jax.scipy.linalg.cho_factor(M)
     x = jax.scipy.linalg.cho_solve(chol, j.T)           # [nv,ne]
     a = j @ x                                           # [ne,ne]
-    b = j @ qacc_smooth - rows.aref
-    ar = a + jnp.diag(rows.r)
+    b = (j @ qacc_smooth - rows.aref) * rows.active
+    ar = a + jnp.diag(rows.r * rows.active)
     lip = jnp.max(jnp.sum(jnp.abs(ar), axis=1))
     step = 1.0 / lip
     mask = rows.active
@@ -512,3 +729,102 @@ def solve_constraints_newton(model: AntModel, M, qacc_smooth,
 
     q = jax.lax.fori_loop(0, iters, body, q0)
     return q, force(q @ jt)
+
+
+def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
+                               iters: int = 8, ls_iters: int = 10,
+                               qacc0=None):
+    """Primal Newton solve on the scalar row structure — the perf path.
+
+    Same math as :func:`solve_constraints_newton` (piecewise-quadratic
+    primal cost, exact bisection line search), but every quantity is a
+    shape-() scalar and every row keeps its **static** dof support (≤ 9
+    entries for contacts, 1 for limits; Python-0.0 entries are dropped at
+    trace time).  Under ``vmap`` each Newton iteration is straight-line
+    [B]-vector code — the array formulation's batched 14×ne×14 matmuls
+    measured 95% of total forward time at B=4096 (they lower to tiny
+    padded MXU dots); this one is pure VPU work and is also the form the
+    Pallas in-kernel engine consumes.
+
+    ``M_s`` is the nested-list mass matrix from
+    :func:`..dynamics.mass_matrix_s` (its per-leg block sparsity is also
+    applied at trace time), ``qacc_smooth``/``qacc0`` are length-nv scalar
+    lists, ``rows`` comes from :func:`constraint_rows_scalar`.  Returns a
+    length-nv scalar list."""
+    nv = model.nv
+    supports = [
+        [(d, row["j"][d]) for d in range(nv) if not _is0(row["j"][d])]
+        for row in rows
+    ]
+    dcoef = [
+        jnp.where(row["active"], 1.0 / jnp.maximum(row["r"], 1e-12), 0.0)
+        for row in rows
+    ]
+    aref = [row["aref"] for row in rows]
+    nr = len(rows)
+    qs = qacc_smooth
+    q0 = qs if qacc0 is None else qacc0
+
+    def m_mul(x):
+        out = []
+        for d in range(nv):
+            acc = 0.0
+            for e in range(nv):
+                if not _is0(M_s[d][e]):
+                    acc = acc + M_s[d][e] * x[e]
+            out.append(acc)
+        return out
+
+    def jdot(sup, x):
+        acc = 0.0
+        for d, cf in sup:
+            acc = acc + cf * x[d]
+        return acc
+
+    def body(_, q):
+        q = list(q)
+        mq = m_mul([q[d] - qs[d] for d in range(nv)])
+        slack = [jdot(supports[rx], q) - aref[rx] for rx in range(nr)]
+        grad = list(mq)
+        for rx in range(nr):
+            f_r = -dcoef[rx] * jnp.minimum(slack[rx], 0.0)
+            for d, cf in supports[rx]:
+                grad[d] = grad[d] - cf * f_r
+        # Hessian: M + Σ_r act_r J_r J_rᵀ over each row's static support
+        h = [[M_s[d][e] for e in range(nv)] for d in range(nv)]
+        for rx in range(nr):
+            act = jnp.where(slack[rx] < 0.0, dcoef[rx], 0.0)
+            sup = supports[rx]
+            for i, (d, cd) in enumerate(sup):
+                acd = act * cd
+                for e, ce in sup[i:]:
+                    h[d][e] = h[d][e] + acd * ce
+        for d in range(nv):
+            for e in range(d + 1, nv):
+                h[e][d] = h[d][e]
+        dq = chol_solve_s(h, [-g for g in grad])
+        jdq = [jdot(supports[rx], dq) for rx in range(nr)]
+        mdq = m_mul(dq)
+        g0 = sum(dq[d] * mq[d] for d in range(nv))
+        gq = sum(dq[d] * mdq[d] for d in range(nv))
+
+        def dphi(alpha):
+            acc = g0 + alpha * gq
+            for rx in range(nr):
+                acc = acc + jdq[rx] * dcoef[rx] * jnp.minimum(
+                    slack[rx] + alpha * jdq[rx], 0.0)
+            return acc
+
+        def bisect(_, ab):
+            lo, hi = ab
+            mid = 0.5 * (lo + hi)
+            pos = dphi(mid) > 0.0
+            return jnp.where(pos, lo, mid), jnp.where(pos, mid, hi)
+
+        zero = jnp.zeros_like(g0)
+        lo, hi = jax.lax.fori_loop(0, ls_iters, bisect, (zero, zero + 2.0))
+        alpha = 0.5 * (lo + hi)
+        return tuple(q[d] + alpha * dq[d] for d in range(nv))
+
+    q = jax.lax.fori_loop(0, iters, body, tuple(q0))
+    return list(q)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .ant_model import AntModel
-from .contact import constraint_rows, solve_constraints_newton
+from .contact import constraint_rows_scalar, solve_constraints_newton_s
 from .dynamics import smooth_forward_s
 from .spatial import quat_integrate, quat_normalize
 
@@ -62,15 +62,14 @@ def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
     (zero warm start == the unconstrained solution, already correct for
     contact-free frames)."""
     dtype = qpos.dtype
+    nv = model.nv
     skin, M_s, qacc_s, _ = smooth_forward_s(model, qpos, qvel, ctrl)
-    M = jnp.stack([
-        jnp.stack([jnp.asarray(x, dtype) for x in row]) for row in M_s
-    ])
+    rows = constraint_rows_scalar(model, skin, qpos, qvel)
+    q0 = qacc_s if warm is None else [qacc_s[d] + warm[d] for d in range(nv)]
+    qacc_l = solve_constraints_newton_s(model, M_s, qacc_s, rows,
+                                        iters=iters, qacc0=q0)
+    qacc = jnp.stack([jnp.asarray(x, dtype) for x in qacc_l])
     qacc_smooth = jnp.stack([jnp.asarray(x, dtype) for x in qacc_s])
-    rows = constraint_rows(model, skin, qpos, qvel)
-    q0 = qacc_smooth if warm is None else qacc_smooth + warm
-    qacc, _ = solve_constraints_newton(model, M, qacc_smooth, rows,
-                                       iters=iters, qacc0=q0)
     return qacc, qacc - qacc_smooth
 
 

@@ -117,6 +117,49 @@ def test_limit_rows_exact(oracle):
         np.testing.assert_allclose(np.asarray(qacc), d.qacc, atol=1e-8)
 
 
+@pytest.mark.parametrize(
+    "place",
+    [
+        # side-on ankle scrape against the east wall (capsule-box face case)
+        {"x": 4.4, "y": 0.0},
+        # corner pocket: simultaneous east + north wall contacts
+        {"x": 4.4, "y": 4.4},
+    ],
+    ids=["east-scrape", "corner"],
+)
+def test_wall_contact_rows_exact(oracle, place):
+    """Wall (capsule-box) contacts match efc_J/aref/R row-for-row, like the
+    floor rows — the reference's MuJoCo collider vs our reverse-engineered
+    one (contact._capsule_box_slots_s + _sphere_box_s + mirror slots)."""
+    from scipy.optimize import linear_sum_assignment
+
+    m, d, mdl = oracle
+    with jax.enable_x64(True):
+        qpos = STAND.copy()
+        qpos[0], qpos[1] = place["x"], place["y"]
+        d.qpos[:] = qpos
+        d.qvel[:] = 0.1 * np.arange(14)
+        d.ctrl[:] = 0.1
+        mujoco.mj_forward(m, d)
+        assert d.ncon > 4  # floor contacts PLUS wall contacts engaged
+
+        kin = dyn.kinematics(mdl, jnp.array(d.qpos))
+        rows = con.constraint_rows(mdl, kin, jnp.array(d.qpos),
+                                   jnp.array(d.qvel))
+        my_j, my_aref, my_r, act = _active_rows(rows)
+        assert act.sum() == d.nefc
+        mj_j = d.efc_J.reshape(d.nefc, 14)
+        # optimal assignment (greedy matching is ambiguous for similar rows)
+        cost = np.abs(my_j[None, :, :] - mj_j[:, None, :]).max(-1)
+        ri, ci = linear_sum_assignment(cost)
+        np.testing.assert_allclose(my_j[ci], mj_j[ri], atol=1e-10)
+        np.testing.assert_allclose(my_aref[ci], d.efc_aref[: d.nefc][ri],
+                                   atol=1e-9)
+        np.testing.assert_allclose(my_r[ci], d.efc_R[: d.nefc][ri],
+                                   atol=1e-12)
+
+
+@pytest.mark.slow
 def test_rk4_trajectory_parity(oracle):
     """20 RK4 steps of contact-rich random flailing track mj_step ≤ 1e-6."""
     m, _, mdl = oracle
@@ -135,6 +178,7 @@ def test_rk4_trajectory_parity(oracle):
         np.testing.assert_allclose(np.asarray(state.qvel), d.qvel, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wall_containment(oracle):
     """Driving into the east wall: the ant stays inside the cage (sphere-
     endpoint wall approximation — behavioral test, not bit parity)."""
@@ -152,6 +196,7 @@ def test_wall_containment(oracle):
     assert np.isfinite(np.asarray(state.qpos)).all()
 
 
+@pytest.mark.slow
 def test_euler_integrator_stable_and_consistent(oracle):
     """The Euler speed knob: stays on its feet under random flailing and
     tracks the RK4 trajectory loosely over a short horizon (it is a
