@@ -157,16 +157,36 @@ class AntTagPhysics(_AntPhysicsBase):
 
     # ------------------------------------------------------------ task bits
     def _spawn_target(self, key, agent_xy):
-        """Uniform in the cage, ≥ 5.0 from the ant: 8 masked candidates with
-        a farthest-corner fallback (corners are always ≥ 6.3 away)."""
-        cands = jax.random.uniform(key, (8, 2), jnp.float32, -CAGE, CAGE)
-        ok = ((cands - agent_xy[None]) ** 2).sum(-1) >= MIN_SPAWN_DIST**2
-        corners = jnp.asarray(
-            [[-CAGE, -CAGE], [-CAGE, CAGE], [CAGE, -CAGE], [CAGE, CAGE]],
-            jnp.float32,
+        """Uniform in the cage conditioned on dist ≥ 5.0 from the ant — the
+        reference's rejection-resample loop (ant_tag.py:94-100) as a bounded
+        ``lax.while_loop``: keep redrawing until the draw qualifies.
+
+        Exact conditional distribution (no fallback atom; the earlier
+        8-candidates + farthest-corner scheme put ~5-10% of episodes on a
+        corner point for centrally-spawned ants).  The per-draw success
+        probability is ≥ ~10% (worst case: ant at the cage center), so the
+        256-iteration bound is hit with probability ≤ 0.9^256 ≈ 2e-12; under
+        vmap the loop runs until every lane qualifies (~30 masked iterations
+        of two uniforms at B=16k — noise next to one constraint solve).
+        Distribution test: ``tests/test_ant_physics_env.py``
+        (test_tag_spawn_distribution)."""
+        def cond(carry):
+            _, xy, i = carry
+            far = ((xy - agent_xy) ** 2).sum() >= MIN_SPAWN_DIST**2
+            return ~far & (i < 256)
+
+        def body(carry):
+            k, _, i = carry
+            k, kd = jax.random.split(k)
+            xy = jax.random.uniform(kd, (2,), jnp.float32, -CAGE, CAGE)
+            return k, xy, i + 1
+
+        k, kd = jax.random.split(key)
+        xy0 = jax.random.uniform(kd, (2,), jnp.float32, -CAGE, CAGE)
+        _, xy, _ = jax.lax.while_loop(
+            cond, body, (k, xy0, jnp.zeros((), jnp.int32))
         )
-        far = corners[jnp.argmax(((corners - agent_xy[None]) ** 2).sum(-1))]
-        return jnp.where(ok.any(), cands[jnp.argmax(ok)], far)
+        return xy
 
     def observe(self, state: AntTagPhysicsState) -> jax.Array:
         d2 = ((state.qpos[:2] - state.target_xy) ** 2).sum()

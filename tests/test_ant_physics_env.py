@@ -34,6 +34,7 @@ def _place(env, state, xy):
     return state.replace(qpos=state.qpos.at[:2].set(jnp.asarray(xy)))
 
 
+@pytest.mark.slow
 def test_tag_protocol_and_shapes():
     env = _light(AntTagPhysics)
     key = jax.random.PRNGKey(0)
@@ -50,6 +51,7 @@ def test_tag_protocol_and_shapes():
     assert 0.1 < float(state.qpos[2]) < 1.5
 
 
+@pytest.mark.slow
 def test_tag_reward_and_autoreset():
     env = _light(AntTagPhysics)
     key = jax.random.PRNGKey(1)
@@ -66,6 +68,7 @@ def test_tag_reward_and_autoreset():
     assert bool(info["reset_mask"])
 
 
+@pytest.mark.slow
 def test_tag_truncation_resets():
     env = _light(AntTagPhysics, time_limit=2)
     key = jax.random.PRNGKey(2)
@@ -111,6 +114,48 @@ def test_tag_spawn_distance():
     assert (np.abs(np.asarray(state.target_xy)) <= 4.5).all()
 
 
+def test_tag_spawn_distribution():
+    """The target spawn is the reference's exact conditional distribution
+    (uniform over cage ∩ {dist ≥ 5}, ant_tag.py:94-100) — compared against
+    a NumPy rejection-sampling oracle at matched sample size.  Guards the
+    regression the old 8-candidates + farthest-corner scheme had: a 5-10%
+    point mass on the corner nearest-farthest from a central ant."""
+    env = _light(AntTagPhysics)
+    n = 4096
+    agent = jnp.zeros(2)  # cage center = worst case (lowest accept rate)
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    xy = np.asarray(
+        jax.jit(jax.vmap(lambda k: env._spawn_target(k, agent)))(keys)
+    )
+    r = np.linalg.norm(xy, axis=-1)
+    assert (r >= 5.0).all()
+    assert (np.abs(xy) <= 4.5).all()
+
+    # no corner atom: only f32 birthday collisions repeat, corner mass tiny
+    assert len(np.unique(xy[:, 0])) > 0.99 * n
+    assert not np.isin(np.abs(xy), 4.5).any()
+    corners = np.array([[-4.5, -4.5], [-4.5, 4.5], [4.5, -4.5], [4.5, 4.5]])
+    d_corner = np.linalg.norm(xy[:, None] - corners[None], axis=-1).min(-1)
+    # oracle corner mass at 0.3: area ~4·(π/4·0.09)/8.33 ≈ 3.4%
+    assert (d_corner < 0.3).mean() < 0.07
+
+    # radial histogram vs the NumPy rejection oracle
+    rng = np.random.default_rng(0)
+    acc = []
+    while sum(len(a) for a in acc) < n:
+        c = rng.uniform(-4.5, 4.5, size=(4 * n, 2))
+        acc.append(c[(c**2).sum(-1) >= 25.0])
+    ref = np.concatenate(acc)[:n]
+    bins = np.linspace(5.0, 4.5 * np.sqrt(2.0), 7)
+    h = np.histogram(r, bins)[0] / n
+    h_ref = np.histogram(np.linalg.norm(ref, axis=-1), bins)[0] / n
+    np.testing.assert_allclose(h, h_ref, atol=0.05)
+    # quadrant symmetry
+    quad = (xy[:, 0] > 0).astype(int) * 2 + (xy[:, 1] > 0)
+    frac = np.bincount(quad, minlength=4) / n
+    np.testing.assert_allclose(frac, 0.25, atol=0.05)
+
+
 def test_hh_reveal_and_rewards():
     env = _light(AntHeavenHellPhysics)
     _, state = env.reset(jax.random.PRNGKey(5))
@@ -128,6 +173,7 @@ def test_hh_reveal_and_rewards():
     assert bool(done) and float(rew) == -1.0     # hell side
 
 
+@pytest.mark.slow
 def test_hh_step_vec_batch():
     env = _light(AntHeavenHellPhysics)
     key = jax.random.PRNGKey(6)
@@ -148,6 +194,7 @@ def test_stand_pose_matches_host_env():
     np.testing.assert_allclose(STAND_POSE, host_ant._STAND_POSE)
 
 
+@pytest.mark.slow
 def test_ppo_train_step_on_ant():
     """The Anakin PPO learner trains the articulated ant end-to-end
     (Gaussian head over the 8-torque Box action, 29-D Box obs)."""
@@ -168,6 +215,7 @@ def test_ppo_train_step_on_ant():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+@pytest.mark.slow
 def test_rnn_ppo_train_step_on_ant():
     """GRU-PPO (the POMDP learner) over the ant's Gaussian action head."""
     from gym_po_tpu.agents import PPOConfig
