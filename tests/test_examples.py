@@ -29,7 +29,10 @@ def test_train_ppo_example():
 
 @pytest.mark.slow
 def test_render_demo_example(tmp_path):
+    # The two ant-physics configs each take ~2 min of CPU XLA compile even
+    # at euler/fs=1/iters=1 (the scalarized engine trace is large); the
+    # other five configs are seconds.
     r = _run(["examples/render_demo.py", "--out", str(tmp_path), "--steps", "3",
-              "--envs", "2"])
+              "--envs", "2"], timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "CarFlag-v0.png").exists()
