@@ -313,10 +313,13 @@ def fused_q_learning(
     continuous-state :class:`~gym_po_tpu.envs.crooms.CRooms` with a
     discrete action type (fixed goal, any discrete obs model).
 
-    ``lam > 0`` (Rooms only) switches to in-kernel **Watkins Q(λ)**
-    (:func:`~gym_po_tpu.ops.fused_qlambda.make_fused_qlambda_trainer_rooms`):
+    ``lam > 0`` (Taxi and Rooms) switches to in-kernel **Watkins Q(λ)**:
     truncated backward-view eligibility traces over the last ``trace_len``
-    visited pairs, cut at non-greedy actions unless ``watkins_cut=False``.
+    visited pairs, cut at non-greedy actions unless ``watkins_cut=False``
+    (Rooms: :func:`~gym_po_tpu.ops.fused_qlambda
+    .make_fused_qlambda_trainer_rooms`; Taxi: the ``lam`` kwarg of
+    :func:`~gym_po_tpu.ops.fused_qlearning.make_fused_q_trainer`, where the
+    trace survives mid-episode task resets).
 
     **Multi-chip**: pass ``mesh`` (a 1-D ``('data',)``
     :class:`jax.sharding.Mesh`) to run the chunk-synchronous data-parallel
@@ -355,8 +358,10 @@ def fused_q_learning(
 
     if expected_sarsa and not isinstance(env, Taxi):
         raise ValueError("expected_sarsa is currently taxi-only")
-    if lam > 0.0 and not isinstance(env, Rooms):
-        raise ValueError("lam > 0 (Watkins Q(λ)) is currently Rooms-only")
+    if lam > 0.0 and not isinstance(env, (Rooms, Taxi)):
+        raise ValueError("lam > 0 (Watkins Q(λ)) supports Taxi and Rooms")
+    if lam > 0.0 and chunk_trainer == "xla":
+        raise ValueError("chunk_trainer='xla' has no Q(λ) path")
     if chunk_trainer not in ("pallas", "xla"):
         raise ValueError(f"unknown chunk_trainer {chunk_trainer!r}")
     if chunk_trainer == "xla" and not isinstance(env, Taxi):
@@ -416,7 +421,8 @@ def fused_q_learning(
         def make(env, B, K, g, average_duplicates, interpret):
             return make_fused_q_trainer(
                 env, B, K, g, average_duplicates=average_duplicates,
-                expected_sarsa=expected_sarsa, interpret=interpret,
+                expected_sarsa=expected_sarsa, lam=lam, trace_len=trace_len,
+                watkins_cut=watkins_cut, interpret=interpret,
             )
         n_act = 5
         state0 = np.asarray(st.s)

@@ -147,6 +147,9 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                          gamma: float = 0.99,
                          average_duplicates: bool = False,
                          expected_sarsa: bool = False,
+                         lam: float = 0.0,
+                         trace_len: int = 8,
+                         watkins_cut: bool = True,
                          interpret: bool = False,
                          rng_tape: bool = False):
     """Build ``run(seed, lr, epsilon, s, q) -> (s', q', reward_sums)``.
@@ -180,8 +183,34 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
     plateaus at the same -0.05/step) — the POMDP path is for
     aliasing/abstraction research, not for reaching the MDP optimum (use
     ``agents.ppo_rnn`` for memoryful POMDP control).
+
+    ``lam > 0`` switches to **Watkins Q(λ)** with the same ring-buffer
+    truncated-trace scheme as the ROOMS variant
+    (:func:`~gym_po_tpu.ops.fused_qlambda.make_fused_qlambda_trainer_rooms`):
+    the last ``trace_len`` visited (obs, action) table addresses per env,
+    each step's L-deep update materialized as one combined ``[L·R, 128]``
+    MXU scatter with baked ``(γλ)^k`` weights.  ``watkins_cut=True`` clears
+    the prior trace BEFORE the update at non-greedy-VALUED actions; the
+    trace survives mid-episode task resets (a dropoff is a real MDP
+    transition — the TD chain through the post-task-reset state is intact)
+    and is cut at full episode resets.  ``lam=0`` reduces bit-exactly to
+    the one-step path.  Incompatible with ``expected_sarsa`` (Watkins'
+    trace soundness argument needs the off-policy max bootstrap).
     """
     interpret_mode = pltpu.InterpretParams() if interpret else False
+    if not 0.0 <= float(lam) <= 1.0:
+        raise ValueError(f"lam={lam} out of range [0, 1]")
+    if not 1 <= int(trace_len) <= 64:
+        raise ValueError(f"trace_len={trace_len} out of range [1, 64]")
+    if float(lam) > 0.0 and expected_sarsa:
+        raise ValueError("lam > 0 requires the max bootstrap "
+                         "(expected_sarsa=False)")
+    use_trace = float(lam) > 0.0
+    L = int(trace_len)
+    coefs = [np.float32((float(gamma) * float(lam)) ** k) for k in range(L)]
+    L = max(k for k, c in enumerate(coefs) if float(c) != 0.0) + 1
+    coefs = coefs[:L]
+    use_trace = use_trace and L > 1
     t = env.tables
     nc = t.rows * t.cols
     if nc > W:
@@ -239,7 +268,11 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                hc_ref, vc_ref, *outs):
         outs = list(outs)
         tape_ref = outs.pop(0) if rng_tape else None
-        s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
+        if use_trace:
+            (s_out, q_out, rew_ref,
+             hh_scr, hl_scr, sc_hi, sc_lo, sc_w) = outs
+        else:
+            s_out, q_out, rew_ref, hi_scr, lo_scr, wtd_scr = outs
         rng = KernelRNG(R, num_steps, tape_ref=tape_ref)
         rng.seed(seed_ref[0])
         rbits, r24 = rng.rbits, rng.r24
@@ -271,16 +304,21 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             ) * nlocs + rem % nlocs
 
         def body(step, carry):
-            s, q, completed, elapsed, racc = carry
+            s, q, completed, elapsed, age, racc = carry
             rng.begin_step(step)
             qidx = obs_of(s)
             vals = qvals(q, qidx)
-            greedy, _ = argmax5(vals)
+            greedy, best_v = argmax5(vals)
             explore = r24() < eps24
             a = jnp.where(explore, rbits(5), greedy)
             q_taken = vals[0]
             for i in range(1, 5):
                 q_taken = jnp.where(a == i, vals[i], q_taken)
+            # Watkins cut BEFORE the update (value-compare: argmax ties are
+            # greedy) — see make_fused_qlambda_trainer_rooms for why cutting
+            # after collapses learning
+            if use_trace and watkins_cut:
+                age = jnp.where(q_taken < best_v, 0, age)
 
             # --- taxi transition (reference extended_taxi.py:244-287) ---
             rc = s // pd
@@ -348,11 +386,32 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             # --- MXU scatter: C[hi, lo] += lr*td over all envs ---
             # (staged through VMEM scratch: Mosaic supports dynamic sublane
             # slicing on refs, not on values)
-            hi_scr[:] = a * nsb + (qidx >> 7)
-            lo_scr[:] = qidx & (W - 1)
-            wtd_scr[:] = lr_v * td
-            q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
-                                 average_duplicates, nb)
+            if use_trace:
+                # ring-write the current pair; one combined L·R-row scatter
+                # with baked (γλ)^k weights (see fused_qlambda)
+                slot_w = jax.lax.rem(step, L)
+                hh_scr[pl.ds(slot_w * R, R), :] = a * nsb + (qidx >> 7)
+                hl_scr[pl.ds(slot_w * R, R), :] = qidx & (W - 1)
+                age = jnp.minimum(age + 1, L)
+                wd = lr_v * td
+                for k in range(L):
+                    slot_r = jax.lax.rem(step - k + L, L)
+                    hi_k = hh_scr[pl.ds(slot_r * R, R), :]
+                    lo_k = hl_scr[pl.ds(slot_r * R, R), :]
+                    live = k < age
+                    sc_hi[k * R : (k + 1) * R, :] = jnp.where(live, hi_k, -1)
+                    sc_lo[k * R : (k + 1) * R, :] = lo_k
+                    sc_w[k * R : (k + 1) * R, :] = jnp.where(
+                        live, coefs[k] * wd, jnp.float32(0.0)
+                    )
+                q = q + _mxu_scatter(sc_hi, sc_lo, sc_w, L * R,
+                                     average_duplicates, nb)
+            else:
+                hi_scr[:] = a * nsb + (qidx >> 7)
+                lo_scr[:] = qidx & (W - 1)
+                wtd_scr[:] = lr_v * td
+                q = q + _mxu_scatter(hi_scr, lo_scr, wtd_scr, R,
+                                     average_duplicates, nb)
 
             # --- full episode resets (as fused_taxi) ---
             reset = done | trunc
@@ -368,13 +427,16 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
             d4 = jnp.where(reset, dr, d3)
             completed = jnp.where(reset, 0, completed)
             elapsed = jnp.where(reset, 0, elapsed)
+            if use_trace:  # trace dies with the episode (not at task resets)
+                age = jnp.where(reset, 0, age)
             s2 = (rc3 * (nlocs + 1) + p4) * nlocs + d4
-            return (s2, q, completed, elapsed, racc + rew)
+            return (s2, q, completed, elapsed, age, racc + rew)
 
         zeros = jnp.zeros((R, W), jnp.int32)
-        s, q, _, _, racc = jax.lax.fori_loop(
+        s, q, _, _, _, racc = jax.lax.fori_loop(
             0, num_steps, body,
-            (s_ref[:], q_ref[:], zeros, zeros, jnp.zeros((R, W), jnp.float32)),
+            (s_ref[:], q_ref[:], zeros, zeros, zeros,
+             jnp.zeros((R, W), jnp.float32)),
         )
         rng.finalize(n_sites)
         s_out[:] = s
@@ -404,17 +466,28 @@ def make_fused_q_trainer(env, num_envs: int, num_steps: int,
                 jax.ShapeDtypeStruct((nb, W), jnp.float32),
                 jax.ShapeDtypeStruct((R, W), jnp.float32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((R, W), jnp.int32),
-                pltpu.VMEM((R, W), jnp.int32),
-                pltpu.VMEM((R, W), jnp.float32),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((L * R, W), jnp.int32),   # ring: bank hi
+                    pltpu.VMEM((L * R, W), jnp.int32),   # ring: lane lo
+                    pltpu.VMEM((L * R, W), jnp.int32),   # scatter hi
+                    pltpu.VMEM((L * R, W), jnp.int32),   # scatter lo
+                    pltpu.VMEM((L * R, W), jnp.float32),  # scatter weights
+                ]
+                if use_trace
+                else [
+                    pltpu.VMEM((R, W), jnp.int32),
+                    pltpu.VMEM((R, W), jnp.int32),
+                    pltpu.VMEM((R, W), jnp.float32),
+                ]
+            ),
         )(seed, jnp.asarray(lr, jnp.float32).reshape(1),
           jnp.asarray(epsilon, jnp.float32).reshape(1), s, q, cm, la, hc, vc,
           *tape)
 
     run.tape_shape = (tape_rows, W)
     run.n_sites = n_sites
+    run.trace_len = L if use_trace else 1
     return run
 
 

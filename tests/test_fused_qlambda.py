@@ -225,7 +225,8 @@ def test_qlambda_rejects_bad_configs():
     ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
 )
 def test_fused_q_learning_wrapper_lambda():
-    """The high-level driver dispatches lam>0 to the Q(λ) kernel."""
+    """The high-level driver dispatches lam>0 to the Q(λ) kernels (Rooms
+    and Taxi); unsupported env families still raise."""
     from gym_po_tpu.agents import fused_q_learning
 
     env = gpt.make("Rooms-v0")
@@ -235,10 +236,22 @@ def test_fused_q_learning_wrapper_lambda():
     )
     assert q.shape == (int(env.observation_space.n), int(env.action_space.n))
     assert len(hist) == 1 and np.isfinite(hist[0])
+    taxi = gpt.make("Taxi-v4")
+    q, hist = fused_q_learning(
+        taxi, seed=0, schedule=[(0.1, 0.0, 8)], num_envs=1024,
+        chunk_steps=8, lam=0.9, trace_len=4, interpret=True,
+    )
+    assert q.shape == (int(taxi.observation_space.n),
+                       int(taxi.action_space.n))
+    assert len(hist) == 1 and np.isfinite(hist[0])
     with pytest.raises(ValueError):
-        fused_q_learning(gpt.make("Taxi-v4"), seed=0,
+        fused_q_learning(gpt.make("MultistoryFourRooms-v0"), seed=0,
                          schedule=[(0.1, 0.0, 8)], num_envs=1024,
                          chunk_steps=8, lam=0.9, interpret=True)
+    with pytest.raises(ValueError):
+        fused_q_learning(taxi, seed=0, schedule=[(0.1, 0.0, 8)],
+                         num_envs=1024, chunk_steps=8, lam=0.9,
+                         chunk_trainer="xla", interpret=True)
 
 
 @pytest.mark.skipif(

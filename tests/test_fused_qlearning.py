@@ -604,6 +604,39 @@ def test_fused_q_trainer_learns_on_hardware():
 
 
 @pytest.mark.skipif(
+    not ON_TPU, reason="TPU interpreter PRNG returns zeros on CPU"
+)
+def test_fused_taxi_qlambda_learns_on_hardware():
+    """Hardware: taxi Watkins Q(λ) (the lam>0 ring-trace path of the taxi
+    trainer) trains to a strong policy at a SMALLER transition budget than
+    the one-step hardware smoke (half the chunks) — traces shorten the
+    credit path from dropoff back through the pickup."""
+    from gym_po_tpu.agents import greedy_policy
+    from gym_po_tpu.vector import rollout
+
+    env = gpt.make("Taxi-v4")
+    B = 4096
+    run = make_fused_q_trainer(env, B, 4096, lam=0.9, trace_len=16,
+                               average_duplicates=True)
+    _, st = env.reset_vec(jax.random.PRNGKey(0), B)
+    s = jnp.asarray(np.asarray(st.s).reshape(-1, 128), jnp.int32)
+    qb = jnp.asarray(q_to_banks(np.zeros((512, 5), np.float32)))
+    for i, (lr, eps) in enumerate(
+        [(0.3, 0.3)] * 2 + [(0.1, 0.05)] + [(0.05, 0.01)]
+    ):
+        s, qb, _ = run(jnp.asarray([i + 1], jnp.int32), lr, eps, s, qb)
+    q = banks_to_q(np.asarray(qb), 512)
+
+    traj, _ = jax.jit(
+        lambda k: rollout(env, k, greedy_policy(jnp.asarray(q[:500])),
+                          1024, 256)
+    )(jax.random.PRNGKey(9))
+    r = np.asarray(traj.reward)
+    assert r.mean() > 0.02, r.mean()
+    assert (r > 0.5).sum() / 1024 > 15, (r > 0.5).sum() / 1024
+
+
+@pytest.mark.skipif(
     ON_TPU, reason="interpret-mode kernels dispatch per-op over the TPU tunnel"
 )
 def test_fused_q_trainer_expected_sarsa_matches_mirror():

@@ -84,7 +84,8 @@ def _obs_table(env, goal, coords):
 
 # ------------------------------------------------------------------ taxi Q
 def _taxi_q_oracle(env, s, q, tape, K, R, lr, eps, gamma,
-                   average_duplicates, expected_sarsa=False):
+                   average_duplicates, expected_sarsa=False,
+                   lam=0.0, trace_len=8, watkins_cut=True):
     t = env.tables
     nlocs, rows, cols = t.nlocs, t.rows, t.cols
     nc = rows * cols
@@ -101,12 +102,20 @@ def _taxi_q_oracle(env, s, q, tape, K, R, lr, eps, gamma,
                             _f32(env.reward_any))
     eps24 = _eps24(eps)
     lr_f, gam, eps_f = _f32(lr), _f32(gamma), _f32(eps)
+    coefs = [np.float32((float(gamma) * float(lam)) ** k)
+             for k in range(int(trace_len))]
+    L = max(k for k, c in enumerate(coefs) if float(c) != 0.0) + 1
+    coefs = coefs[:L]
+    use_trace = float(lam) > 0.0 and L > 1
     o = TapeOracle(tape, K, R)
     q = np.asarray(q, np.float32).copy()
     s = s.copy()
     completed = np.zeros_like(s)
     elapsed = np.zeros_like(s)
+    age = np.zeros_like(s)
     racc = np.zeros(s.shape, np.float32)
+    hist_hi = np.zeros((L, R, W), np.int32)
+    hist_lo = np.zeros((L, R, W), np.int32)
 
     def obs_of(s):
         if not hansen:
@@ -118,12 +127,14 @@ def _taxi_q_oracle(env, s, q, tape, K, R, lr, eps, gamma,
         o.begin_step(step)
         qidx = obs_of(s)
         vals = q_lookup_oracle(q, qidx, 5, nsb)
-        greedy, _ = first_argmax_oracle(vals)
+        greedy, best_v = first_argmax_oracle(vals)
         explore = o.r24() < eps24
         a = np.where(explore, o.rbits(5), greedy)
         q_taken = vals[0]
         for i in range(1, 5):
             q_taken = np.where(a == i, vals[i], q_taken)
+        if use_trace and watkins_cut:
+            age = np.where(q_taken < best_v, 0, age)
 
         rc, rem = s // pd, s % pd
         p, d = rem // nlocs, rem % nlocs
@@ -163,10 +174,29 @@ def _taxi_q_oracle(env, s, q, tape, K, R, lr, eps, gamma,
             next_v = next_max
         target = rew + gam * next_v * np.where(done, _f32(0.0), _f32(1.0))
         td = target - q_taken
-        hi = a * nsb + (qidx >> 7)
-        lo = qidx & (W - 1)
-        q = q + mxu_scatter_oracle(hi, lo, lr_f * td, R,
-                                   average_duplicates, nb)
+        if use_trace:
+            hist_hi[step % L] = a * nsb + (qidx >> 7)
+            hist_lo[step % L] = qidx & (W - 1)
+            age = np.minimum(age + 1, L)
+            wd = lr_f * td
+            sc_hi = np.empty((L * R, W), np.int32)
+            sc_lo = np.empty((L * R, W), np.int32)
+            sc_w = np.empty((L * R, W), np.float32)
+            for k in range(L):
+                slot_r = (step - k + L) % L
+                live = k < age
+                sc_hi[k * R : (k + 1) * R] = np.where(live, hist_hi[slot_r],
+                                                      -1)
+                sc_lo[k * R : (k + 1) * R] = hist_lo[slot_r]
+                sc_w[k * R : (k + 1) * R] = np.where(live, coefs[k] * wd,
+                                                     _f32(0.0))
+            q = q + mxu_scatter_oracle(sc_hi, sc_lo, sc_w, L * R,
+                                       average_duplicates, nb)
+        else:
+            hi = a * nsb + (qidx >> 7)
+            lo = qidx & (W - 1)
+            q = q + mxu_scatter_oracle(hi, lo, lr_f * td, R,
+                                       average_duplicates, nb)
 
         reset = done | trunc
         if all_valid:
@@ -181,6 +211,8 @@ def _taxi_q_oracle(env, s, q, tape, K, R, lr, eps, gamma,
         d4 = np.where(reset, dr, d3)
         completed = np.where(reset, 0, completed)
         elapsed = np.where(reset, 0, elapsed)
+        if use_trace:
+            age = np.where(reset, 0, age)
         s = (rc3 * (nlocs + 1) + p4) * nlocs + d4
         racc = racc + rew
     return s, q, racc
@@ -223,6 +255,85 @@ def test_tape_taxi_q_trainer_bit_exact(name, avg, esarsa):
     np.testing.assert_array_equal(np.asarray(qb_k), qb_o)
     # the tape exercised exploration AND greedy exploitation
     assert 0 < np.count_nonzero(qb_o != qb0) < qb_o.size
+
+
+@pytest.mark.parametrize(
+    "name,watkins_cut,avg",
+    [
+        ("Taxi-v4", True, False),
+        ("Taxi-v4", False, True),
+        ("ExtendedTaxi-v4", True, True),
+    ],
+)
+def test_tape_taxi_qlambda_bit_exact(name, watkins_cut, avg):
+    """Taxi Watkins Q(λ): the ring-buffer trace path of the one-step taxi
+    trainer (lam > 0) matches the NumPy oracle bit-exactly — incl. the
+    trace surviving mid-episode task resets and dying at full resets."""
+    env = gpt.make(name, time_limit=6)
+    B, K, L = 1024, 16, 4
+    lr, eps, gamma, lam = 0.2, 0.4, 0.9, 0.8
+    _, st = env.reset_vec(jax.random.PRNGKey(3), B)
+    s0 = np.asarray(st.s, np.int32).reshape(-1, W)
+    nsb, _ = bank_geometry(int(env.observation_space.n), 5)
+    nsp = nsb * W
+    rng = np.random.default_rng(1)
+    q0 = np.zeros((nsp, 5), np.float32)
+    idx_n = int(env.observation_space.n)
+    q0[:idx_n] = rng.normal(scale=0.1, size=(idx_n, 5)).astype(np.float32)
+    qb0 = q_to_banks(q0, nsb)
+
+    run = make_fused_q_trainer(env, B, K, gamma, average_duplicates=avg,
+                               lam=lam, trace_len=L,
+                               watkins_cut=watkins_cut,
+                               interpret=True, rng_tape=True)
+    assert run.trace_len == L
+    tape = make_tape(rng, run.n_sites, K, B // W)
+    s_k, qb_k, racc_k = run(SEED0, lr, eps, jnp.asarray(s0),
+                            jnp.asarray(qb0), jnp.asarray(tape))
+    s_o, qb_o, racc_o = _taxi_q_oracle(
+        env, s0, qb0, tape, K, B // W, lr, eps, gamma, avg,
+        lam=lam, trace_len=L, watkins_cut=watkins_cut,
+    )
+    np.testing.assert_array_equal(np.asarray(s_k), s_o)
+    np.testing.assert_array_equal(np.asarray(racc_k), racc_o)
+    np.testing.assert_array_equal(np.asarray(qb_k), qb_o)
+
+
+def test_taxi_qlambda_zero_lambda_equals_one_step():
+    """lam=0 must reproduce the one-step taxi trainer bit-for-bit on the
+    same tape (identical draw-site layout, single scatter block)."""
+    env = gpt.make("Taxi-v4", time_limit=6)
+    B, K = 1024, 16
+    lr, eps, gamma = 0.2, 0.3, 0.9
+    _, st = env.reset_vec(jax.random.PRNGKey(5), B)
+    s0 = np.asarray(st.s, np.int32).reshape(-1, W)
+    rng = np.random.default_rng(2)
+    q0 = rng.normal(scale=0.1, size=(512, 5)).astype(np.float32)
+    qb0 = q_to_banks(q0)
+    run_l = make_fused_q_trainer(env, B, K, gamma, lam=0.0, trace_len=8,
+                                 interpret=True, rng_tape=True)
+    assert run_l.trace_len == 1
+    run_1 = make_fused_q_trainer(env, B, K, gamma, interpret=True,
+                                 rng_tape=True)
+    assert run_l.n_sites == run_1.n_sites
+    tape = make_tape(rng, run_l.n_sites, K, B // W)
+    out_l = run_l(SEED0, lr, eps, jnp.asarray(s0), jnp.asarray(qb0),
+                  jnp.asarray(tape))
+    out_1 = run_1(SEED0, lr, eps, jnp.asarray(s0), jnp.asarray(qb0),
+                  jnp.asarray(tape))
+    for got, want, nm in zip(out_l, out_1, "s q racc".split()):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=nm)
+
+
+def test_taxi_qlambda_rejects_bad_configs():
+    env = gpt.make("Taxi-v4")
+    with pytest.raises(ValueError):
+        make_fused_q_trainer(env, 1024, 8, lam=1.5)
+    with pytest.raises(ValueError):
+        make_fused_q_trainer(env, 1024, 8, lam=0.5, trace_len=0)
+    with pytest.raises(ValueError):
+        make_fused_q_trainer(env, 1024, 8, lam=0.5, expected_sarsa=True)
 
 
 # ----------------------------------------------------------------- rooms Q
