@@ -22,7 +22,12 @@ Task semantics (identical to :mod:`.ant` / the reference):
 
 Physics accuracy knobs: ``solver_iters`` (primal-Newton iterations per
 integrator stage — 12 reproduces MuJoCo's constraint fixed point to ~1e-12
-at f64; the default 8 with cross-step warm starts is within f32 noise),
+at f64; the default 8 with cross-step warm starts is within f32 noise —
+validated: over 120-200 contact-rich RK4 steps the f32/iters=8 default
+tracks the f64/iters=15 parity configuration to < 5e-5 m position drift
+with penetration bounded at ~3.7 mm and finite energy, see
+``tests/test_physics_contact.py::
+test_f32_default_config_tracks_f64_parity_config``),
 ``integrator`` (``"rk4"`` = the reference setting; ``"euler"`` = one
 constrained solve per substep, ~4x cheaper, see ``physics.engine``), and
 warm starts carried in the env state.

