@@ -69,6 +69,19 @@ def main():
         path = os.path.join(args.out, f"{name.replace('/', '_')}.png")
         save_png(path, img)
         print(f"{name}: {img.shape} -> {path}")
+        if name.startswith("Ant"):
+            # full MuJoCo 3-D scene (the reference's own render path);
+            # falls back silently on machines without mujoco+EGL
+            try:
+                from gym_po_tpu.render import render_ant_scene
+
+                img3d = render_ant_scene(env, state,
+                                         idx=range(min(args.envs, 4)))
+                p3d = os.path.join(args.out, f"{name}_scene.png")
+                save_png(p3d, img3d)
+                print(f"{name}: 3-D scene {img3d.shape} -> {p3d}")
+            except Exception as e:
+                print(f"{name}: 3-D scene unavailable ({e})")
 
 
 if __name__ == "__main__":

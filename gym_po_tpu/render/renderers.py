@@ -31,6 +31,7 @@ __all__ = [
     "render_heavenhell",
     "render_rocksample",
     "render_ant",
+    "render_ant_scene",
     "render",
     "human_view",
 ]
@@ -465,6 +466,78 @@ def render_ant(env, state, idx=None) -> np.ndarray:
             COLORS["agent"]
         )
         frames.append(img)
+    return tile_images(frames)
+
+
+_MJ_SCENE_CACHE: dict = {}
+
+
+def render_ant_scene(env, state, idx=None, width: int = 320,
+                     height: int = 240) -> np.ndarray:
+    """Full MuJoCo-scene rendering of the ant physics envs — the reference's
+    own render path (``gym_po/envs/ant_tag.py:27-75`` renders the MuJoCo
+    scene via gymnasium; the mocap spheres at ``:141-145`` exist to be
+    seen).  Host-side: drives a headless ``mujoco.Renderer`` (EGL) from
+    fetched ``qpos``; the TPU engine simulates the SAME compiled model
+    (``envs/mjcf.py``, signature parity ``tests/test_ant_parity.py``), so
+    the scene is the true simulator state, not an approximation.
+
+    Mirrors the reference's scene dressing: AntTag moves mocap slot 0 to
+    the target and slots 1/2 (visibility ring, tag ring) with the ant;
+    AntHeavenHell recolors the left/right area sites by the episode's
+    heaven side (``ant_heaven_hell.py:110-118``).
+
+    Requires ``mujoco`` and a GL backend (sets ``MUJOCO_GL=egl`` if unset);
+    raises on headless machines without EGL — callers fall back to
+    :func:`render_ant` (the top-down schematic, always available)."""
+    import os
+
+    os.environ.setdefault("MUJOCO_GL", "egl")
+    import mujoco
+
+    from ..envs.ant_physics import AntTagPhysics
+    from ..envs.mjcf import ant_heaven_hell_xml, ant_tag_xml
+
+    idx = _indices(idx)
+    is_tag = isinstance(env, AntTagPhysics)
+    key = ("tag" if is_tag else "hh", width, height)
+    if key not in _MJ_SCENE_CACHE:
+        xml = ant_tag_xml() if is_tag else ant_heaven_hell_xml()
+        m = mujoco.MjModel.from_xml_string(xml)
+        _MJ_SCENE_CACHE[key] = (m, mujoco.MjData(m),
+                                mujoco.Renderer(m, height, width))
+    m, d, renderer = _MJ_SCENE_CACHE[key]
+
+    qpos = np.atleast_2d(_select(state.qpos, idx))
+    targets = np.atleast_2d(_select(state.target_xy, idx)) if is_tag else None
+    heaven_right = (
+        np.atleast_1d(_select(state.heaven_right, idx))
+        if not is_tag else None
+    )
+    cam = mujoco.MjvCamera()
+    cam.type = mujoco.mjtCamera.mjCAMERA_FREE
+    cam.distance, cam.elevation, cam.azimuth = 9.0, -40.0, 90.0
+
+    frames = []
+    for k in range(len(idx)):
+        d.qpos[:] = np.asarray(qpos[k], np.float64)
+        d.qvel[:] = 0.0
+        if is_tag:
+            d.mocap_pos[0, :2] = np.asarray(targets[k], np.float64)
+            d.mocap_pos[1:3, :2] = d.qpos[:2]  # indicator rings track ant
+        else:
+            right = bool(heaven_right[k])
+            green, red = (0, 1, 0, 0.5), (1, 0, 0, 0.5)
+            m.site_rgba[mujoco.mj_name2id(
+                m, mujoco.mjtObj.mjOBJ_SITE, "left_area")] = (
+                red if right else green)
+            m.site_rgba[mujoco.mj_name2id(
+                m, mujoco.mjtObj.mjOBJ_SITE, "right_area")] = (
+                green if right else red)
+        mujoco.mj_forward(m, d)
+        cam.lookat[:] = (float(d.qpos[0]), float(d.qpos[1]), 0.5)
+        renderer.update_scene(d, camera=cam)
+        frames.append(np.asarray(renderer.render(), np.uint8))
     return tile_images(frames)
 
 

@@ -7,6 +7,11 @@ Environment variables must be set before JAX is imported anywhere.
 
 import os
 
+# Headless MuJoCo rendering (render_ant_scene): the GL backend is chosen at
+# the FIRST `import mujoco` anywhere in the process, so the choice must be
+# pinned before any test (or importorskip) pulls mujoco in.
+os.environ.setdefault("MUJOCO_GL", "egl")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"

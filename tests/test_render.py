@@ -6,6 +6,7 @@ so the output is deterministic and directly assertable.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -112,3 +113,28 @@ def test_ant_render_frames_and_np_fk_parity():
         # dispatch integration
         from gym_po_tpu.render import render
         assert render(env, state, idx=[0]).ndim == 3
+
+
+def test_ant_mujoco_scene_render():
+    """render_ant_scene drives a headless mujoco.Renderer from fetched
+    qpos (the reference's own render path, ant_tag.py:27-75).  Skips when
+    mujoco or a GL backend (EGL) is unavailable."""
+    import jax
+
+    import gym_po_tpu as gpt
+    from gym_po_tpu.render import render_ant_scene
+
+    pytest.importorskip("mujoco")
+    env = gpt.make("AntTagPhysics-v0", frame_skip=1, solver_iters=2)
+    _, state = env.reset_vec(jax.random.PRNGKey(0), 2)
+    try:
+        img = render_ant_scene(env, state, idx=[0, 1], width=160, height=120)
+    except Exception as e:  # no EGL on this machine
+        pytest.skip(f"GL unavailable: {e}")
+    assert img.dtype == np.uint8 and img.shape == (120, 320, 3)
+    assert img.std() > 1.0  # a real scene, not a blank buffer
+
+    hh = gpt.make("AntHeavenHellPhysics-v0", frame_skip=1, solver_iters=2)
+    _, hstate = hh.reset_vec(jax.random.PRNGKey(1), 1)
+    img = render_ant_scene(hh, hstate, idx=[0], width=160, height=120)
+    assert img.shape == (120, 160, 3) and img.std() > 1.0
