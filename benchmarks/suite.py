@@ -33,7 +33,17 @@ CONFIGS = [
     ("RockSample-v0", {"map_size": (7, 7), "num_rocks": 8}),
     ("TagContinuous-v0", {}),
     ("HeavenHellContinuous-v0", {}),
+    # articulated ant on the TPU rigid-body engine (reference config:
+    # rk4 x frame_skip 15 = 60 constrained solves per env step).  Orders
+    # of magnitude heavier than the tabular envs: the sweep overrides
+    # steps/batches for it (see main) so the suite stays runnable.
+    ("AntTagPhysics-v0", {}),
 ]
+
+# env-step count override for the heavyweight configs (one ant env step is
+# ~60 constrained forward solves; 256-step windows would take minutes)
+STEPS_OVERRIDE = {"AntTagPhysics-v0": 4}
+BATCH_CAP = {"AntTagPhysics-v0": 4096}
 
 
 def bench(name, kw, batch, steps, iters=3, windows=5):
@@ -156,19 +166,25 @@ def main():
                    help="fused greedy tabular-policy evaluation (taxi family)")
     args = p.parse_args()
     dev = jax.devices()[0].platform
+    seen = set()
     for name, kw in CONFIGS:
         if args.only and not any(s in name for s in args.only):
             continue
         for batch in args.batches:
+            batch = min(batch, BATCH_CAP.get(name, batch))
+            steps = STEPS_OVERRIDE.get(name, args.steps)
+            if (name, str(kw), batch) in seen:
+                continue  # batch cap collapsed this config
+            seen.add((name, str(kw), batch))
             if args.fused or args.policy_eval:
                 try:
-                    sps = bench_fused(name, kw, batch, args.steps,
+                    sps = bench_fused(name, kw, batch, steps,
                                       policy_eval=args.policy_eval)
                     mode = "fused-policy" if args.policy_eval else "fused"
                 except ValueError:
                     continue  # no fused kernel for this env
             else:
-                sps = bench(name, kw, batch, args.steps)
+                sps = bench(name, kw, batch, steps)
                 mode = "scan"
             print(
                 json.dumps(
