@@ -103,11 +103,14 @@ class _AntPhysicsBase(Environment):
     """Shared physics plumbing; subclasses add the task layer."""
 
     def __init__(self, walls, time_limit: int, frame_skip: int,
-                 solver_iters: int, integrator: str = "rk4"):
+                 solver_iters: int, integrator: str = "rk4",
+                 ls_iters: int = 10, chord_iters: int = 0):
         self.model = make_ant_model(walls)
         self.time_limit = int(time_limit)
         self.frame_skip = int(frame_skip)
         self.solver_iters = int(solver_iters)
+        self.ls_iters = int(ls_iters)
+        self.chord_iters = int(chord_iters)
         self.integrator = str(integrator)
         self._action_space = Box(-1.0, 1.0, (8,), dtype=jnp.float32)
 
@@ -124,7 +127,9 @@ class _AntPhysicsBase(Environment):
         out = physics_step(self.model, ps, jnp.clip(action, -1.0, 1.0),
                            frame_skip=self.frame_skip,
                            iters=self.solver_iters,
-                           integrator=self.integrator)
+                           integrator=self.integrator,
+                           ls_iters=self.ls_iters,
+                           chord_iters=self.chord_iters)
         return out.qpos, out.qvel, out.warm
 
     def _spawn_qpos(self, key, lo_xy, hi_xy):
@@ -153,9 +158,10 @@ class AntTagPhysics(_AntPhysicsBase):
     name = "AntTagPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 8, integrator: str = "rk4"):
+                 solver_iters: int = 8, integrator: str = "rk4",
+                 ls_iters: int = 10, chord_iters: int = 0):
         super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters,
-                         integrator)
+                         integrator, ls_iters, chord_iters)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (29,), dtype=jnp.float32
         )
@@ -297,9 +303,10 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
     name = "AntHeavenHellPhysics-v0"
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
-                 solver_iters: int = 8, integrator: str = "rk4"):
+                 solver_iters: int = 8, integrator: str = "rk4",
+                 ls_iters: int = 10, chord_iters: int = 0):
         super().__init__(HEAVEN_HELL_WALLS, time_limit, frame_skip,
-                         solver_iters, integrator)
+                         solver_iters, integrator, ls_iters, chord_iters)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (28,), dtype=jnp.float32
         )

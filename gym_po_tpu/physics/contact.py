@@ -59,7 +59,7 @@ from .dynamics import (
     Kinematics, SKin, _is0, mt_vec, m_vec, v_add, v_cross, v_dot, v_scale,
     v_sub,
 )
-from .linalg import chol_solve, chol_solve_s
+from .linalg import chol_backsub_s, chol_factor_s, chol_solve, chol_solve_s
 
 __all__ = ["constraint_rows", "constraint_rows_scalar", "solve_constraints",
            "solve_constraints_newton", "solve_constraints_newton_s",
@@ -733,7 +733,7 @@ def solve_constraints_newton(model: AntModel, M, qacc_smooth,
 
 def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
                                iters: int = 8, ls_iters: int = 10,
-                               qacc0=None):
+                               qacc0=None, chord_iters: int = 0):
     """Primal Newton solve on the scalar row structure — the perf path.
 
     Same math as :func:`solve_constraints_newton` (piecewise-quadratic
@@ -750,7 +750,17 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
     :func:`..dynamics.mass_matrix_s` (its per-leg block sparsity is also
     applied at trace time), ``qacc_smooth``/``qacc0`` are length-nv scalar
     lists, ``rows`` comes from :func:`constraint_rows_scalar`.  Returns a
-    length-nv scalar list."""
+    length-nv scalar list.
+
+    ``chord_iters`` appends that many **chord (frozen-Hessian) iterations**
+    after the ``iters`` full Newton steps: the Hessian is assembled and
+    factorized ONCE at the full-Newton iterate, and each chord iteration
+    reuses the factor — exact gradient + exact bisection line search on the
+    true cost are kept, so every chord step still strictly descends φ
+    (globally convergent, linear rate).  A chord iteration skips the
+    Hessian assembly (~2 ops per support-pair per row) and the O(nv^3)
+    refactorization; warm-started solves converge to the same fixed point
+    (drift probe: ``benchmarks/solver_drift_probe.py``)."""
     nv = model.nv
     supports = [
         [(d, row["j"][d]) for d in range(nv) if not _is0(row["j"][d])]
@@ -781,8 +791,7 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
             acc = acc + cf * x[d]
         return acc
 
-    def body(_, q):
-        q = list(q)
+    def grad_slack(q):
         mq = m_mul([q[d] - qs[d] for d in range(nv)])
         slack = [jdot(supports[rx], q) - aref[rx] for rx in range(nr)]
         grad = list(mq)
@@ -790,6 +799,9 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
             f_r = -dcoef[rx] * jnp.minimum(slack[rx], 0.0)
             for d, cf in supports[rx]:
                 grad[d] = grad[d] - cf * f_r
+        return mq, slack, grad
+
+    def assemble_h(slack):
         # Hessian: M + Σ_r act_r J_r J_rᵀ over each row's static support
         h = [[M_s[d][e] for e in range(nv)] for d in range(nv)]
         for rx in range(nr):
@@ -802,7 +814,10 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
         for d in range(nv):
             for e in range(d + 1, nv):
                 h[e][d] = h[d][e]
-        dq = chol_solve_s(h, [-g for g in grad])
+        return h
+
+    def ls_update(q, mq, slack, dq):
+        # Exact bisection line search on the true (piecewise-quadratic) cost
         jdq = [jdot(supports[rx], dq) for rx in range(nr)]
         mdq = m_mul(dq)
         g0 = sum(dq[d] * mq[d] for d in range(nv))
@@ -826,5 +841,26 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
         alpha = 0.5 * (lo + hi)
         return tuple(q[d] + alpha * dq[d] for d in range(nv))
 
+    def body(_, q):
+        q = list(q)
+        mq, slack, grad = grad_slack(q)
+        dq = chol_solve_s(assemble_h(slack), [-g for g in grad])
+        return ls_update(q, mq, slack, dq)
+
     q = jax.lax.fori_loop(0, iters, body, tuple(q0))
+
+    if chord_iters:
+        # Freeze the Hessian (assembly + factorization) at the full-Newton
+        # iterate; chord steps reuse the factor.
+        _, slack_f, _ = grad_slack(list(q))
+        L = chol_factor_s(assemble_h(slack_f))
+
+        def chord_body(_, q):
+            q = list(q)
+            mq, slack, grad = grad_slack(q)
+            dq = chol_backsub_s(L, [-g for g in grad])
+            return ls_update(q, mq, slack, dq)
+
+        q = jax.lax.fori_loop(0, chord_iters, chord_body, q)
+
     return list(q)

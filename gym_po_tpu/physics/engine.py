@@ -54,20 +54,23 @@ def init_state(model: AntModel, qpos, qvel) -> PhysicsState:
 
 
 def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
-            iters: int = 10):
+            iters: int = 10, ls_iters: int = 10, chord_iters: int = 0):
     """Constrained forward dynamics → (qacc, warm_out).
 
     ``warm`` is the previous step's constraint correction
     ``qacc - qacc_smooth``; Newton starts from ``qacc_smooth + warm``
     (zero warm start == the unconstrained solution, already correct for
-    contact-free frames)."""
+    contact-free frames).  ``ls_iters`` = bisections per Newton line
+    search, ``chord_iters`` = extra frozen-Hessian iterations (both
+    accuracy/speed knobs, see ``solve_constraints_newton_s``)."""
     dtype = qpos.dtype
     nv = model.nv
     skin, M_s, qacc_s, _ = smooth_forward_s(model, qpos, qvel, ctrl)
     rows = constraint_rows_scalar(model, skin, qpos, qvel)
     q0 = qacc_s if warm is None else [qacc_s[d] + warm[d] for d in range(nv)]
     qacc_l = solve_constraints_newton_s(model, M_s, qacc_s, rows,
-                                        iters=iters, qacc0=q0)
+                                        iters=iters, ls_iters=ls_iters,
+                                        qacc0=q0, chord_iters=chord_iters)
     qacc = jnp.stack([jnp.asarray(x, dtype) for x in qacc_l])
     qacc_smooth = jnp.stack([jnp.asarray(x, dtype) for x in qacc_s])
     return qacc, qacc - qacc_smooth
@@ -89,7 +92,8 @@ _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
 def rk4_step(model: AntModel, state: PhysicsState, ctrl,
-             iters: int = 10) -> PhysicsState:
+             iters: int = 10, ls_iters: int = 10,
+             chord_iters: int = 0) -> PhysicsState:
     """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``).
 
     Rolled as a 4-stage ``lax.scan`` (one ``forward`` in the trace)."""
@@ -103,7 +107,8 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
         c, b = cb
         qpos_i = _integrate_pos(model, qpos0, c * vel_prev, dt)
         qvel_i = qvel0 + (dt * c) * acc_prev
-        acc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters)
+        acc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters, ls_iters,
+                           chord_iters)
         return (qvel_i, acc_i, vsum + b * qvel_i, asum + b * acc_i, w), ()
 
     cb = (jnp.asarray(_RK_C, dtype), jnp.asarray(_RK_B, dtype))
@@ -117,7 +122,8 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
 
 
 def euler_step(model: AntModel, state: PhysicsState, ctrl,
-               iters: int = 10) -> PhysicsState:
+               iters: int = 10, ls_iters: int = 10,
+               chord_iters: int = 0) -> PhysicsState:
     """One semi-implicit Euler step: ``qvel' = qvel + dt qacc``, position
     integrated with the NEW velocity.
 
@@ -126,7 +132,8 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
     additionally treats joint damping implicitly — this one is the plain
     symplectic variant (one constrained ``forward`` per step instead of
     RK4's four: ~4x less compute and a 4x smaller trace)."""
-    qacc, w = forward(model, state.qpos, state.qvel, ctrl, state.warm, iters)
+    qacc, w = forward(model, state.qpos, state.qvel, ctrl, state.warm,
+                      iters, ls_iters, chord_iters)
     qvel = state.qvel + model.dt * qacc
     return PhysicsState(
         _integrate_pos(model, state.qpos, qvel, model.dt), qvel, w
@@ -134,10 +141,14 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
 
 
 def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
-         iters: int = 10, integrator: str = "rk4") -> PhysicsState:
+         iters: int = 10, integrator: str = "rk4",
+         ls_iters: int = 10, chord_iters: int = 0,
+         unroll: int = 1) -> PhysicsState:
     """``frame_skip`` integrator steps with ``ctrl`` held
     (``MujocoEnv.do_simulation``).  ``integrator``: ``"rk4"`` (reference
-    setting) or ``"euler"`` (see :func:`euler_step`)."""
+    setting) or ``"euler"`` (see :func:`euler_step`).  ``unroll`` is passed
+    to the substep ``lax.scan`` — a perf knob trading compile time (the
+    forward trace is duplicated ``unroll``×) for cross-substep fusion."""
     if integrator == "rk4":
         substep = rk4_step
     elif integrator == "euler":
@@ -146,7 +157,8 @@ def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def body(s, _):
-        return substep(model, s, ctrl, iters), ()
+        return substep(model, s, ctrl, iters, ls_iters, chord_iters), ()
 
-    out, _ = jax.lax.scan(body, state, None, length=frame_skip)
+    out, _ = jax.lax.scan(body, state, None, length=frame_skip,
+                          unroll=unroll)
     return out

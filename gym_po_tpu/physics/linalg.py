@@ -18,20 +18,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["chol_solve", "chol_solve_s"]
+__all__ = ["chol_solve", "chol_solve_s", "chol_factor_s", "chol_backsub_s"]
 
 
-def chol_solve_s(H, g):
-    """Scalar-core solve: ``H`` is an n×n nested list and ``g`` a length-n
-    list of [...]-shaped scalars; returns a list of n scalars.
-
-    Cholesky factorization + two triangular substitutions, fully unrolled
-    over ``n`` at trace time.  All intermediate values are [...]-shaped
-    (batch) scalars, so under ``vmap`` the whole solve is a chain of
-    elementwise vector ops — no while loops, no dynamic slices.  Intended
-    for n <= ~20 (op count grows as O(n^3) in trace size).
-    """
-    n = len(g)
+def chol_factor_s(H):
+    """Scalar-core Cholesky factor: ``H`` (n×n SPD nested list of
+    [...]-shaped scalars) → lower-triangular ``L`` as a nested list
+    (upper entries ``None``), fully unrolled at trace time."""
+    n = len(H)
     L = [[None] * n for _ in range(n)]
     for j in range(n):
         s = H[j][j]
@@ -45,6 +39,13 @@ def chol_solve_s(H, g):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv
+    return L
+
+
+def chol_backsub_s(L, g):
+    """Two triangular substitutions with a precomputed factor
+    (:func:`chol_factor_s`): solve ``L Lᵀ x = g``."""
+    n = len(g)
     y = [None] * n
     for i in range(n):
         s = g[i]
@@ -58,6 +59,19 @@ def chol_solve_s(H, g):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return x
+
+
+def chol_solve_s(H, g):
+    """Scalar-core solve: ``H`` is an n×n nested list and ``g`` a length-n
+    list of [...]-shaped scalars; returns a list of n scalars.
+
+    Cholesky factorization + two triangular substitutions, fully unrolled
+    over ``n`` at trace time.  All intermediate values are [...]-shaped
+    (batch) scalars, so under ``vmap`` the whole solve is a chain of
+    elementwise vector ops — no while loops, no dynamic slices.  Intended
+    for n <= ~20 (op count grows as O(n^3) in trace size).
+    """
+    return chol_backsub_s(chol_factor_s(H), g)
 
 
 def chol_solve(H, g):
