@@ -272,3 +272,27 @@ def test_euler_integrator_stable_and_consistent(oracle):
 
     with pytest.raises(ValueError):
         eng.step(mdl, s_eu, jnp.zeros(8), integrator="verlet")
+
+
+def test_chord_iterations_reach_full_newton_fixed_point(oracle):
+    """Chord (frozen-Hessian) iterations converge to the SAME qacc fixed
+    point as pure full-Newton: 4 full + 8 chord must match iters=15 far
+    more tightly than 4 full alone (the chord steps keep the exact gradient
+    and exact line search, only the factorization is reused —
+    contact.solve_constraints_newton_s)."""
+    _, _, mdl = oracle
+    with jax.enable_x64(True):
+        qpos = jnp.asarray(STAND, jnp.float64)
+        qvel = jnp.asarray(0.1 * np.arange(14), jnp.float64)
+        ctrl = jnp.full((8,), 0.3, jnp.float64)
+
+        def qacc(iters, chord):
+            out, _ = eng.forward(mdl, qpos, qvel, ctrl,
+                                 iters=iters, chord_iters=chord)
+            return np.asarray(out)
+
+        ref = qacc(15, 0)
+        err_chord = np.abs(qacc(4, 8) - ref).max()
+        err_bare = np.abs(qacc(4, 0) - ref).max()
+        assert err_chord < 1e-10, err_chord
+        assert err_bare > 100 * max(err_chord, 1e-14), (err_bare, err_chord)
