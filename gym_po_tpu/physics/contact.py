@@ -56,12 +56,13 @@ import numpy as np
 
 from .ant_model import AntModel
 from .dynamics import (
-    Kinematics, SKin, _is0, mt_vec, m_vec, v_add, v_cross, v_dot, v_scale,
-    v_sub,
+    Kinematics, SKin, _is0, mt_vec, m_vec, point_jacobian, v_add, v_cross,
+    v_dot, v_scale, v_sub,
 )
 from .linalg import chol_backsub_s, chol_factor_s, chol_solve, chol_solve_s
 
-__all__ = ["constraint_rows", "constraint_rows_scalar", "solve_constraints",
+__all__ = ["constraint_rows", "constraint_rows_scalar",
+           "constraint_rows_array", "solve_constraints",
            "solve_constraints_newton", "solve_constraints_newton_s",
            "ConstraintRows"]
 
@@ -593,6 +594,159 @@ def constraint_rows_scalar(model: AntModel, s: SKin, qpos, qvel):
                     active=active,
                 ))
     return rows
+
+
+def constraint_rows_array(model: AntModel, kin: Kinematics, qpos,
+                          qvel) -> ConstraintRows:
+    """Batched (array) constraint rows — the **compile-friendly** pipeline.
+
+    Same candidate set, order, and row formulas as
+    :func:`constraint_rows_scalar` (asserted numerically in
+    ``tests/test_physics_contact.py::test_array_pipeline_matches_scalar``),
+    but built from *stacked candidate arrays*: the capsule-box and
+    plane-capsule geometry runs ONCE with a leading capsule axis (the scalar
+    geometry helpers are shape-polymorphic, so they are reused verbatim on
+    ``[n_capsules]``-array leaves), and Jacobian rows come from the dense
+    masked :func:`..dynamics.point_jacobian` instead of per-candidate
+    unrolled columns.  The emitted HLO is ~50x smaller than the scalar
+    pipeline's — this is what keeps the XLA:CPU multichip dryrun compile in
+    budget (``__graft_entry__.dryrun_multichip``); on TPU at runtime the
+    scalar pipeline remains the perf path (its static per-row dof sparsity
+    is what :func:`solve_constraints_newton_s` exploits).
+
+    ``kin`` must be the array :class:`Kinematics` view.  Pair with the array
+    solver :func:`solve_constraints_newton` via
+    ``engine.forward(..., pipeline="array")``.
+    """
+    dtype = qpos.dtype
+    big = 1e9
+    gb = np.asarray(model.geom_body)
+    ncap = len(gb) - 1
+
+    xpos_g = kin.xpos[gb]                                   # [ng,3]
+    xmat_g = kin.xmat[gb]                                   # [ng,3,3]
+    centers = xpos_g + jnp.einsum(
+        "gij,gj->gi", xmat_g, jnp.asarray(model.geom_pos, dtype))
+    axis_w = jnp.einsum(
+        "gij,gj->gi", xmat_g, jnp.asarray(model.geom_axis, dtype))
+    r_g = jnp.asarray(model.geom_r, dtype)
+    p0 = centers[1:] - model.geom_h[1:, None] * axis_w[1:]  # [ncap,3]
+    p1 = centers[1:] + model.geom_h[1:, None] * axis_w[1:]
+
+    # ---- floor candidates: torso sphere + both capsule endpoints ----
+    ends = jnp.stack([p0, p1], axis=1).reshape(-1, 3)       # [2*ncap,3]
+    sph_c = jnp.concatenate([centers[:1], ends])
+    sph_r = jnp.concatenate([r_g[:1], jnp.repeat(r_g[1:], 2)])
+    dist_f = sph_c[:, 2] - sph_r
+    pos_f = sph_c.at[:, 2].add(-(sph_r + 0.5 * dist_f))
+    n_f = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype), sph_c.shape)
+    ax2 = jnp.repeat(axis_w[1:], 2, axis=0)                 # per endpoint
+    t1c, t2c = _capsule_floor_frame((ax2[:, 0], ax2[:, 1], ax2[:, 2]))
+    zc = jnp.zeros_like(t1c[0])
+    t1_f = jnp.concatenate([
+        jnp.asarray([[0.0, 1.0, 0.0]], dtype),
+        jnp.stack([t1c[0], t1c[1], zc], -1),
+    ])
+    t2_f = jnp.concatenate([
+        jnp.asarray([[-1.0, 0.0, 0.0]], dtype),
+        jnp.stack([t2c[0], t2c[1], zc], -1),
+    ])
+    body_f = np.concatenate([gb[:1], np.repeat(gb[1:], 2)])
+
+    # ---- wall candidates: per slot, torso sphere-box + capsule-box ----
+    torso_c = (centers[0, 0], centers[0, 1], centers[0, 2])
+    mid = 0.5 * (p0 + p1)
+    p0t = (p0[:, 0], p0[:, 1], p0[:, 2])
+    p1t = (p1[:, 0], p1[:, 1], p1[:, 2])
+    dist_w, n_w, pos_w, body_w = [], [], [], []
+    for slot in _wall_slots(model.walls):
+        lo, hi = _select_bounds(slot, torso_c)
+        d_t, n_t, q_t, _ = _sphere_box_s(torso_c, r_g[0], lo, hi)
+        dist_w.append(jnp.asarray(d_t, dtype)[None])
+        n_w.append(jnp.stack(n_t)[None])
+        pos_w.append(jnp.stack(q_t)[None])
+        body_w.append(gb[:1])
+
+        lo_c, hi_c = _select_bounds(slot, (mid[:, 0], mid[:, 1], mid[:, 2]))
+        slots3 = _capsule_box_slots_s(p0t, p1t, r_g[1:], lo_c, hi_c)
+        # capsule-major interleave matches the scalar emission order
+        dist_w.append(jnp.stack(
+            [jnp.where(v, d, big) for d, _, _, v in slots3], 1
+        ).reshape(-1))
+        n_w.append(jnp.stack(
+            [jnp.stack(n, -1) for _, n, _, _ in slots3], 1
+        ).reshape(-1, 3))
+        pos_w.append(jnp.stack(
+            [jnp.stack(q, -1) for _, _, q, _ in slots3], 1
+        ).reshape(-1, 3))
+        body_w.append(np.repeat(gb[1:], 3))
+
+    n_wall = jnp.concatenate(n_w)
+    t1w, t2w = _make_frame_s((n_wall[:, 0], n_wall[:, 1], n_wall[:, 2]))
+
+    # ---- assemble candidate arrays (floor first — scalar order) ----
+    dist = jnp.concatenate([dist_f] + dist_w)
+    pos = jnp.concatenate([pos_f] + pos_w)
+    n = jnp.concatenate([n_f, n_wall])
+    t1 = jnp.concatenate([t1_f, jnp.stack(t1w, -1)])
+    t2 = jnp.concatenate([t2_f, jnp.stack(t2w, -1)])
+    body = np.concatenate([body_f] + body_w)
+    invw = jnp.asarray(_body_invweight(model)[body], dtype)
+
+    jac3 = point_jacobian(model, kin, jnp.asarray(body), pos)  # [nc,nv,3]
+    jn = jnp.einsum("cvi,ci->cv", jac3, n)
+    jt1 = jnp.einsum("cvi,ci->cv", jac3, t1)
+    jt2 = jnp.einsum("cvi,ci->cv", jac3, t2)
+
+    k_stiff, b_damp = _kb(model)
+
+    # ---- joint-limit rows (8) ----
+    jd = np.asarray(model.jnt_dof)
+    q_j = qpos[np.asarray(model.jnt_qpos)]
+    lo_j = jnp.asarray(model.jnt_range[:, 0], dtype)
+    hi_j = jnp.asarray(model.jnt_range[:, 1], dtype)
+    d_lo, d_hi = q_j - lo_j, hi_j - q_j
+    lower = d_lo <= d_hi
+    pos_lim = jnp.where(lower, d_lo, d_hi)
+    sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+    imp_l = _impedance(model, pos_lim)
+    sel = np.zeros((8, model.nv))
+    sel[np.arange(8), jd] = 1.0
+    jac_l = sign[:, None] * jnp.asarray(sel, dtype)
+    aref_l = -b_damp * (sign * qvel[jd]) - k_stiff * imp_l * pos_lim
+    r_l = (1.0 - imp_l) / imp_l * jnp.asarray(_dof_invweight(model)[jd],
+                                              dtype)
+    active_l = (pos_lim < 0.0).astype(dtype)
+
+    # ---- contact pyramid rows (4 per candidate: +t1, -t1, +t2, -t2) ----
+    margin = 2.0 * model.margin
+    mu = model.friction
+    violation = dist - margin
+    active_c = (dist < margin).astype(dtype)
+    imp_c = _impedance(model, violation)
+    kd = k_stiff * imp_c * violation
+    r_c = ((1.0 - imp_c) / imp_c
+           * (2.0 * mu * mu * (1.0 + mu * mu)) * invw)
+    vel_n = jn @ qvel
+    vel_t1 = jt1 @ qvel
+    vel_t2 = jt2 @ qvel
+    jac_c = jnp.stack(
+        [jn + mu * jt1, jn - mu * jt1, jn + mu * jt2, jn - mu * jt2], 1
+    ).reshape(-1, model.nv)
+    aref_c = jnp.stack(
+        [-b_damp * (vel_n + mu * vel_t1) - kd,
+         -b_damp * (vel_n - mu * vel_t1) - kd,
+         -b_damp * (vel_n + mu * vel_t2) - kd,
+         -b_damp * (vel_n - mu * vel_t2) - kd], 1
+    ).reshape(-1)
+
+    return ConstraintRows(
+        jac_t=jnp.concatenate([jac_l, jac_c]).T,
+        aref=jnp.concatenate([aref_l, aref_c]),
+        r=jnp.concatenate([r_l, jnp.repeat(r_c, 4)]),
+        active=jnp.concatenate([active_l, jnp.repeat(active_c, 4)]),
+    )
 
 
 def constraint_rows(model: AntModel, kin, qpos, qvel) -> ConstraintRows:

@@ -33,13 +33,16 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ant_model import AntModel
 from .linalg import chol_solve_s
 
 __all__ = ["Kinematics", "SKin", "fk", "kinematics", "mass_matrix",
-           "bias_force", "point_jacobian", "smooth_forward"]
+           "bias_force", "point_jacobian", "smooth_forward",
+           "smooth_forward_array"]
 
 
 # ---------------------------------------------------------------------------
@@ -452,6 +455,99 @@ def smooth_forward(model: AntModel, qpos, qvel, ctrl):
         jnp.stack([jnp.asarray(x, dtype) for x in qacc]),
         jnp.stack([jnp.asarray(x, dtype) for x in qfrc]),
     )
+
+
+def smooth_forward_array(model: AntModel, qpos, qvel, ctrl):
+    """Array (batched-einsum) smooth forward — the **compile-friendly** twin
+    of :func:`smooth_forward`.
+
+    Same math (CRBA mass matrix, RNEA-with-q̈=0 bias, MuJoCo free-joint
+    conventions) expressed over ``[nb,nv,3]`` Jacobian arrays instead of
+    per-(body,dof) unrolled scalars, with the 14x14 solve on
+    ``jax.scipy.linalg.cho_factor`` instead of the trace-unrolled Cholesky.
+    Emits ~5x less HLO than the scalar core — paired with
+    :func:`..contact.constraint_rows_array` under
+    ``engine.forward(pipeline="array")`` for compile-time-bound settings
+    (the XLA:CPU multichip dryrun).  Runtime throughput on TPU is WORSE
+    than the scalar core (lane-padded [nb,nv,3] intermediates — the
+    measured first-generation result, see module docstring); numerics agree
+    with the scalar core to fp-association (parity-tested in
+    ``tests/test_physics_contact.py::test_array_pipeline_matches_scalar``).
+
+    Returns ``(kin, M, qacc_smooth, qfrc_smooth)`` with ``kin`` a
+    :class:`Kinematics` whose ``s`` is ``None``.
+    """
+    dtype = qpos.dtype
+    nb, nv = model.nb, model.nv
+    xpos_s, xquat_s, xmat_s = _fk_s(model, qpos)       # scalar FK (small)
+    xpos = _stack_vecs(xpos_s, dtype)                  # [nb,3]
+    xquat = _stack_vecs(xquat_s, dtype)
+    xmat = _stack_mats(xmat_s, dtype)                  # [nb,3,3]
+
+    com = xpos + jnp.einsum(
+        "bij,bj->bi", xmat, jnp.asarray(model.body_ipos, dtype))
+    iw = jnp.einsum(
+        "bij,bjk,blk->bil", xmat, jnp.asarray(model.body_inertia, dtype),
+        xmat)
+
+    # per-dof world axis u and anchor p (free rotation: torso frame @ torso
+    # origin; hinges: child frame axis @ child origin)
+    jb = np.asarray(model.jnt_body)
+    jd = np.asarray(model.jnt_dof)
+    axis_w = jnp.einsum(
+        "jik,jk->ji", xmat[jb], jnp.asarray(model.jnt_axis, dtype))
+    dof_u = jnp.zeros((nv, 3), dtype)
+    dof_u = dof_u.at[3:6].set(xmat[0].T).at[jd].set(axis_w)
+    dof_p = jnp.zeros((nv, 3), dtype)
+    dof_p = dof_p.at[3:6].set(xpos[0]).at[jd].set(xpos[jb])
+    trans = jnp.zeros((nv,), dtype).at[:3].set(1.0)
+    rot = (1.0 - trans) * jnp.asarray(np.arange(nv) >= 3, dtype)
+
+    # CoM-anchored Jacobians with the (body, dof) mask applied numerically
+    mask = jnp.asarray(model.dof_mask, dtype)          # [nb,nv]
+    eye = jnp.concatenate(
+        [jnp.eye(3, dtype=dtype), jnp.zeros((nv - 3, 3), dtype)])
+    arm = com[:, None, :] - dof_p[None]                # [nb,nv,3]
+    jp = mask[:, :, None] * (
+        trans[:, None] * eye + rot[:, None] * jnp.cross(dof_u[None], arm))
+    jr = (mask * rot)[:, :, None] * dof_u[None]
+
+    mass_b = jnp.asarray(model.body_mass, dtype)
+    M = (
+        jnp.einsum("b,bdi,bei->de", mass_b, jp, jp)
+        + jnp.einsum("bdi,bij,bej->de", jr, iw, jr)
+        + jnp.diag(jnp.asarray(model.armature, dtype))
+    )
+
+    # ---- bias: RNEA with q̈=0 (array form of bias_force_s) ----
+    cdot = jnp.einsum("bdi,d->bi", jp, qvel)           # [nb,3]
+    omega = jnp.einsum("bdi,d->bi", jr, qvel)
+    anchor = np.zeros((nv,), np.int64)
+    anchor[jd] = jb                                    # d<3 rows are masked
+    w_a = omega[anchor]                                # [nv,3]
+    udot = jnp.cross(w_a, dof_u)
+    pdot = cdot[anchor] + jnp.cross(w_a, dof_p - com[anchor])
+    dcol = (jnp.cross(udot[None], arm)
+            + jnp.cross(dof_u[None], cdot[:, None] - pdot[None]))
+    mrot = mask * rot
+    a_lin = jnp.einsum("bd,d,bdi->bi", mrot, qvel, dcol)
+    a_ang = jnp.einsum("bd,d,di->bi", mrot, qvel, udot)
+    g = jnp.asarray([0.0, 0.0, model.gravity], dtype)
+    f_lin = mass_b[:, None] * (a_lin - g)
+    f_ang = (jnp.einsum("bij,bj->bi", iw, a_ang)
+             + jnp.cross(omega, jnp.einsum("bij,bj->bi", iw, omega)))
+    bias = (jnp.einsum("bdi,bi->d", jp, f_lin)
+            + jnp.einsum("bdi,bi->d", jr, f_ang))
+
+    tau = jnp.zeros((nv,), dtype).at[np.asarray(model.act_dof)].set(
+        model.gear * jnp.clip(ctrl, -1.0, 1.0))
+    qfrc = tau - jnp.asarray(model.damping, dtype) * qvel - bias
+    qacc = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(M), qfrc)
+
+    kin = Kinematics(xpos=xpos, xquat=xquat, xmat=xmat, com=com,
+                     inertia_w=iw, dof_u=dof_u, dof_p=dof_p, trans=trans,
+                     jp=jp, jr=jr, s=None)
+    return kin, M, qacc, qfrc
 
 
 def smooth_forward_s(model: AntModel, qpos, qvel, ctrl):

@@ -31,8 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from .ant_model import AntModel
-from .contact import constraint_rows_scalar, solve_constraints_newton_s
-from .dynamics import smooth_forward_s
+from .contact import (constraint_rows_array, constraint_rows_scalar,
+                      solve_constraints_newton, solve_constraints_newton_s)
+from .dynamics import smooth_forward_array, smooth_forward_s
 from .spatial import quat_integrate, quat_normalize
 
 __all__ = [
@@ -54,7 +55,8 @@ def init_state(model: AntModel, qpos, qvel) -> PhysicsState:
 
 
 def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
-            iters: int = 10, ls_iters: int = 10, chord_iters: int = 0):
+            iters: int = 10, ls_iters: int = 10, chord_iters: int = 0,
+            pipeline: str = "scalar"):
     """Constrained forward dynamics → (qacc, warm_out).
 
     ``warm`` is the previous step's constraint correction
@@ -62,9 +64,27 @@ def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
     (zero warm start == the unconstrained solution, already correct for
     contact-free frames).  ``ls_iters`` = bisections per Newton line
     search, ``chord_iters`` = extra frozen-Hessian iterations (both
-    accuracy/speed knobs, see ``solve_constraints_newton_s``)."""
+    accuracy/speed knobs, see ``solve_constraints_newton_s``).
+
+    ``pipeline`` selects the constraint formulation: ``"scalar"`` (the
+    TPU runtime perf path — static per-row dof sparsity, straight-line
+    [B]-vector code under vmap) or ``"array"`` (same math on stacked row
+    arrays via :func:`..contact.constraint_rows_array` — ~50x smaller HLO,
+    for compile-time-bound settings like the XLA:CPU multichip dryrun;
+    ``chord_iters`` is a scalar-path knob and is ignored here)."""
     dtype = qpos.dtype
     nv = model.nv
+    if pipeline == "array":
+        kin, M, qacc_smooth, _ = smooth_forward_array(model, qpos, qvel,
+                                                      ctrl)
+        rows = constraint_rows_array(model, kin, qpos, qvel)
+        q0 = qacc_smooth if warm is None else qacc_smooth + warm
+        qacc, _ = solve_constraints_newton(model, M, qacc_smooth, rows,
+                                           iters=iters, ls_iters=ls_iters,
+                                           qacc0=q0)
+        return qacc, qacc - qacc_smooth
+    if pipeline != "scalar":
+        raise ValueError(f"unknown pipeline {pipeline!r}")
     skin, M_s, qacc_s, _ = smooth_forward_s(model, qpos, qvel, ctrl)
     rows = constraint_rows_scalar(model, skin, qpos, qvel)
     q0 = qacc_s if warm is None else [qacc_s[d] + warm[d] for d in range(nv)]
@@ -93,7 +113,7 @@ _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 def rk4_step(model: AntModel, state: PhysicsState, ctrl,
              iters: int = 10, ls_iters: int = 10,
-             chord_iters: int = 0) -> PhysicsState:
+             chord_iters: int = 0, pipeline: str = "scalar") -> PhysicsState:
     """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``).
 
     Rolled as a 4-stage ``lax.scan`` (one ``forward`` in the trace)."""
@@ -108,7 +128,7 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
         qpos_i = _integrate_pos(model, qpos0, c * vel_prev, dt)
         qvel_i = qvel0 + (dt * c) * acc_prev
         acc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters, ls_iters,
-                           chord_iters)
+                           chord_iters, pipeline)
         return (qvel_i, acc_i, vsum + b * qvel_i, asum + b * acc_i, w), ()
 
     cb = (jnp.asarray(_RK_C, dtype), jnp.asarray(_RK_B, dtype))
@@ -123,7 +143,8 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
 
 def euler_step(model: AntModel, state: PhysicsState, ctrl,
                iters: int = 10, ls_iters: int = 10,
-               chord_iters: int = 0) -> PhysicsState:
+               chord_iters: int = 0,
+               pipeline: str = "scalar") -> PhysicsState:
     """One semi-implicit Euler step: ``qvel' = qvel + dt qacc``, position
     integrated with the NEW velocity.
 
@@ -133,7 +154,7 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
     symplectic variant (one constrained ``forward`` per step instead of
     RK4's four: ~4x less compute and a 4x smaller trace)."""
     qacc, w = forward(model, state.qpos, state.qvel, ctrl, state.warm,
-                      iters, ls_iters, chord_iters)
+                      iters, ls_iters, chord_iters, pipeline)
     qvel = state.qvel + model.dt * qacc
     return PhysicsState(
         _integrate_pos(model, state.qpos, qvel, model.dt), qvel, w
@@ -143,7 +164,7 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
 def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
          iters: int = 10, integrator: str = "rk4",
          ls_iters: int = 10, chord_iters: int = 0,
-         unroll: int = 1) -> PhysicsState:
+         unroll: int = 1, pipeline: str = "scalar") -> PhysicsState:
     """``frame_skip`` integrator steps with ``ctrl`` held
     (``MujocoEnv.do_simulation``).  ``integrator``: ``"rk4"`` (reference
     setting) or ``"euler"`` (see :func:`euler_step`).  ``unroll`` is passed
@@ -157,7 +178,8 @@ def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def body(s, _):
-        return substep(model, s, ctrl, iters, ls_iters, chord_iters), ()
+        return substep(model, s, ctrl, iters, ls_iters, chord_iters,
+                       pipeline), ()
 
     out, _ = jax.lax.scan(body, state, None, length=frame_skip,
                           unroll=unroll)

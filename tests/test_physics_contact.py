@@ -274,6 +274,7 @@ def test_euler_integrator_stable_and_consistent(oracle):
         eng.step(mdl, s_eu, jnp.zeros(8), integrator="verlet")
 
 
+@pytest.mark.slow
 def test_chord_iterations_reach_full_newton_fixed_point(oracle):
     """Chord (frozen-Hessian) iterations converge to the SAME qacc fixed
     point as pure full-Newton: 4 full + 8 chord must match iters=15 far
@@ -287,12 +288,83 @@ def test_chord_iterations_reach_full_newton_fixed_point(oracle):
         ctrl = jnp.full((8,), 0.3, jnp.float64)
 
         def qacc(iters, chord):
-            out, _ = eng.forward(mdl, qpos, qvel, ctrl,
-                                 iters=iters, chord_iters=chord)
-            return np.asarray(out)
+            # jit: one compile per static (iters, chord) config — eager
+            # scalar-op dispatch on this path costs minutes
+            fwd = jax.jit(lambda q, v, c: eng.forward(
+                mdl, q, v, c, iters=iters, chord_iters=chord)[0])
+            return np.asarray(fwd(qpos, qvel, ctrl))
 
         ref = qacc(15, 0)
         err_chord = np.abs(qacc(4, 8) - ref).max()
         err_bare = np.abs(qacc(4, 0) - ref).max()
         assert err_chord < 1e-10, err_chord
+        # Negative control, empirically calibrated: measured err_bare ≈ 5e-5
+        # vs err_chord ≈ 1.3e-15 on this state.  If this line ever fails
+        # with a SMALL err_bare, it means 4 bare Newton iterations got much
+        # tighter (solver improvement) — retune the control rather than
+        # suspecting a chord regression.
         assert err_bare > 100 * max(err_chord, 1e-14), (err_bare, err_chord)
+
+
+def _random_states(n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        qpos = np.concatenate([
+            rng.uniform(-4.5, 4.5, 2), [rng.uniform(0.1, 0.6)],
+            rng.normal(size=4), rng.uniform(-0.5, 0.5, 8)])
+        qpos[3:7] /= np.linalg.norm(qpos[3:7])
+        out.append((qpos, rng.normal(size=14), rng.uniform(-1, 1, 8)))
+    return out
+
+
+@pytest.mark.parametrize("walls", ["tag", "hh"])
+def test_array_pipeline_matches_scalar(walls):
+    """The compile-friendly array pipeline (constraint_rows_array +
+    smooth_forward_array, used by engine.forward(pipeline="array") for the
+    multichip dryrun) is numerically the SAME model as the scalar TPU perf
+    path: identical candidate set/order and row values to fp roundoff, and
+    identical smooth dynamics."""
+    mdl = am.make_ant_model(
+        am.TAG_WALLS if walls == "tag" else am.HEAVEN_HELL_WALLS)
+    with jax.enable_x64(True):
+        for qpos, qvel, ctrl in _random_states(3, seed=42):
+            qpos, qvel, ctrl = (jnp.asarray(qpos), jnp.asarray(qvel),
+                                jnp.asarray(ctrl))
+            k1, M1, qa1, qf1 = dyn.smooth_forward(mdl, qpos, qvel, ctrl)
+            k2, M2, qa2, qf2 = dyn.smooth_forward_array(mdl, qpos, qvel,
+                                                        ctrl)
+            np.testing.assert_allclose(M1, M2, rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(qa1, qa2, rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(qf1, qf2, rtol=1e-9, atol=1e-11)
+
+            r1 = con.constraint_rows(mdl, k1, qpos, qvel)
+            r2 = con.constraint_rows_array(mdl, k2, qpos, qvel)
+            assert r1.jac_t.shape == r2.jac_t.shape
+            np.testing.assert_allclose(r1.jac_t, r2.jac_t, atol=1e-10)
+            np.testing.assert_allclose(r1.aref, r2.aref, rtol=1e-8,
+                                       atol=1e-8)
+            np.testing.assert_allclose(r1.r, r2.r, rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(r1.active, r2.active, atol=0)
+
+
+@pytest.mark.parametrize("x", [0.0, 4.4], ids=["floor", "wall"])
+def test_array_pipeline_qacc_matches_mujoco(oracle, x):
+    """End-to-end constrained forward through the ARRAY pipeline
+    (engine.forward(pipeline="array"): smooth_forward_array +
+    constraint_rows_array + the array Newton solver) reproduces MuJoCo's
+    qacc fixed point — the same oracle the scalar perf path is pinned to,
+    at a floor-contact and a wall-contact state."""
+    m, _, mdl = oracle
+    d = mujoco.MjData(m)
+    with jax.enable_x64(True):
+        qpos = STAND.copy()
+        qpos[0] = x
+        d.qpos[:] = qpos
+        d.qvel[:] = 0.1 * np.arange(14)
+        d.ctrl[:] = 0.3
+        mujoco.mj_forward(m, d)
+        qacc, _ = eng.forward(
+            mdl, jnp.asarray(d.qpos), jnp.asarray(d.qvel),
+            jnp.asarray(d.ctrl), iters=15, pipeline="array")
+        np.testing.assert_allclose(np.asarray(qacc), d.qacc, atol=1e-8)
