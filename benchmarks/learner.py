@@ -15,6 +15,9 @@ import jax
 
 sys.path.insert(0, ".")
 import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from gym_po_tpu.agents import (  # noqa: E402
     PPOConfig,
     init_train_state,

@@ -449,19 +449,43 @@ def contact_candidates_s(model: AntModel, s: SKin):
         cands.append(dict(dist=dist, jn=jn, jt1=jt1, jt2=jt2,
                           invweight=float(inv0[b])))
 
-    # wall slots (mirror-paired AABBs): torso sphere + MuJoCo capsule-box
+    # wall slots (mirror-paired AABBs): torso sphere + MuJoCo capsule-box.
+    # The capsule-box slot computation is BATCHED over the capsules (tuples
+    # of [n_capsules]-arrays through the shape-polymorphic geometry helpers)
+    # and sliced back to per-candidate scalars: ONE traced copy of the
+    # bisection/refinement code per wall slot instead of one per capsule —
+    # the unrolled form measured ~45k of the forward's 168k HLO lines, and
+    # XLA compile time (CPU dryrun AND the tunnel's server-side compile) is
+    # a first-class cost of this engine (BASELINE.md compile table).
+    # Runtime-neutral: geometry is cold next to the solver, and the r04
+    # tunnel bisect measured 67.5k euler steps/s vs the 67.1k baseline.
+    # (Batching the HOT regions the same way was tried and REVERTED: class-
+    # stacked solver rows measured 23.0k and batched Jacobian rows 44.6k —
+    # [B, R]-tiled stacks waste lanes where the scalar [B]-vector form
+    # fills them; see docs/ARCHITECTURE.md negative results.)
     torso_c, torso_b, torso_r, _, _ = spheres[0]
     big = 1e9
+    p0s = tuple(jnp.stack([c[0][k] for c in capsules]) for k in range(3))
+    p1s = tuple(jnp.stack([c[1][k] for c in capsules]) for k in range(3))
+    r_caps = jnp.asarray(np.array([c[2] for c in capsules]))
+
+    def at_i(val, i):
+        """Slice candidate i out of a batched scalar (0-d statics pass
+        through — e.g. the always-True valid flag of slot 1)."""
+        return val if jnp.ndim(val) == 0 else val[i]
+
     for slot in _wall_slots(model.walls):
         lo, hi = _select_bounds(slot, torso_c)
         dist, n, pos, _ = _sphere_box_s(torso_c, torso_r, lo, hi)
         emit(dist, n, pos, torso_b)
-        for p0, p1, r, b in capsules:
-            mid = v_scale(0.5, v_add(p0, p1))
-            lo, hi = _select_bounds(slot, mid)
-            for d_i, n_i, q_i, valid in _capsule_box_slots_s(
-                    p0, p1, r, lo, hi):
-                emit(jnp.where(valid, d_i, big), n_i, q_i, b)
+        mids = tuple(0.5 * (p0s[k] + p1s[k]) for k in range(3))
+        lo_c, hi_c = _select_bounds(slot, mids)
+        slots3 = _capsule_box_slots_s(p0s, p1s, r_caps, lo_c, hi_c)
+        for i, (_, _, _, b) in enumerate(capsules):
+            for d_i, n_i, q_i, valid in slots3:
+                emit(jnp.where(at_i(valid, i), at_i(d_i, i), big),
+                     tuple(at_i(n_i[k], i) for k in range(3)),
+                     tuple(at_i(q_i[k], i) for k in range(3)), b)
     return cands
 
 

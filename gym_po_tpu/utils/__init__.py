@@ -8,10 +8,11 @@ from .grid import (
 )
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .debug import assert_finite, checked
-from .platform import pin_platform_from_env
+from .platform import enable_compilation_cache, pin_platform_from_env
 from .profiling import Timer, annotate, steps_per_second, trace
 
 __all__ = [
+    "enable_compilation_cache",
     "pin_platform_from_env",
     "save_checkpoint",
     "restore_checkpoint",

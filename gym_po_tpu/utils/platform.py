@@ -19,7 +19,24 @@ import os
 
 import jax
 
-__all__ = ["pin_platform_from_env"]
+__all__ = ["pin_platform_from_env", "enable_compilation_cache"]
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (works over the axon
+    tunnel: measured 108 s cold → 1.2 s cached across processes).
+
+    Cold XLA compiles of the ant engine cost MINUTES on the remote chip
+    (BASELINE.md compile-time table), so every bench/driver entry point
+    enables this.  Default location is ``<repo>/.jax_cache`` (gitignored)
+    so the cache survives across driver invocations on the same machine."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def pin_platform_from_env() -> None:

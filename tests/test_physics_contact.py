@@ -288,11 +288,13 @@ def test_chord_iterations_reach_full_newton_fixed_point(oracle):
         ctrl = jnp.full((8,), 0.3, jnp.float64)
 
         def qacc(iters, chord):
-            # jit: one compile per static (iters, chord) config — eager
-            # scalar-op dispatch on this path costs minutes
-            fwd = jax.jit(lambda q, v, c: eng.forward(
-                mdl, q, v, c, iters=iters, chord_iters=chord)[0])
-            return np.asarray(fwd(qpos, qvel, ctrl))
+            # eager on purpose: jitting compiles the f64 scalar forward per
+            # (iters, chord) config — measured SLOWER than the ~10 min of
+            # eager dispatch (XLA:CPU chokes on the 150k-op scalar trace,
+            # same pathology as the r03 dryrun regression)
+            out, _ = eng.forward(mdl, qpos, qvel, ctrl,
+                                 iters=iters, chord_iters=chord)
+            return np.asarray(out)
 
         ref = qacc(15, 0)
         err_chord = np.abs(qacc(4, 8) - ref).max()
