@@ -34,7 +34,7 @@ enable_compilation_cache()
 from gym_po_tpu.agents import (  # noqa: E402
     PPOConfig,
     init_train_state,
-    make_multi_train_step,
+    make_train_step,
 )
 
 
@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--entropy-coef", type=float, default=0.01)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint dir for crash-resilient segmented "
+                    "runs: restores the latest TrainState, saves after "
+                    "every chunk (the tunnel's TPU worker occasionally "
+                    "crashes mid-run; rerunning the same command resumes)")
     args = ap.parse_args()
 
     env = gpt.make("AntTagPhysics-v0", integrator=args.integrator)
@@ -61,28 +66,49 @@ def main():
         hidden=(64, 64),
     )
     net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
-    step = make_multi_train_step(env, net, cfg, args.chunk)
+    start = 0
+    if args.ckpt:
+        from gym_po_tpu.utils.checkpoint import (latest_step,
+                                                 restore_checkpoint,
+                                                 save_checkpoint)
+        import os
+        if os.path.isdir(args.ckpt) and latest_step(args.ckpt) is not None:
+            start = latest_step(args.ckpt)
+            ts = restore_checkpoint(args.ckpt, ts)
+            print(json.dumps({"resumed_at_update": start}), flush=True)
+    # NOTE: one dispatch PER UPDATE, not a chunk-sized scan: a 50-update
+    # single dispatch (~80 s of device time) reproducibly crashes the
+    # tunnel's TPU worker ("kernel fault"); per-update dispatches (~2 s)
+    # run fine, and the 170 ms dispatch overhead is <10% here.  Metrics
+    # are still fetched only at chunk boundaries.
+    step = make_train_step(env, net, cfg)
 
     steps_per_update = args.num_envs * args.rollout
     history = []
     t_start = time.time()
-    done = 0
+    done = start
     while done < args.updates:
         t0 = time.time()
-        ts, m = step(ts)
-        tag_rate = np.asarray(m["mean_reward"])  # [chunk] tags per env-step
+        chunk_m = []
+        for _ in range(args.chunk):
+            ts, m = step(ts)
+            chunk_m.append(m)
+        tag_rate = np.asarray([m["mean_reward"] for m in chunk_m])
+        m = {k: np.asarray(chunk_m[-1][k]) for k in chunk_m[-1]}
         dt = time.time() - t0
         done += args.chunk
         rec = {
             "update": done,
             "tag_rate_per_step": float(tag_rate.mean()),
             "tag_rate_last": float(tag_rate[-1]),
-            "entropy": float(np.asarray(m["entropy"])[-1]),
+            "entropy": float(np.asarray(m["entropy"])),
             "env_steps": done * steps_per_update,
             "sps": round(args.chunk * steps_per_update / dt),
         }
         history.append(rec)
         print(json.dumps(rec), flush=True)
+        if args.ckpt:
+            save_checkpoint(args.ckpt, done, ts)
 
     first = history[0]["tag_rate_per_step"]
     last = history[-1]["tag_rate_per_step"]

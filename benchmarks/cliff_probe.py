@@ -1,0 +1,134 @@
+"""Decompose the ant B>4096 throughput cliff (VERDICT r3 #4).
+
+BASELINE.md: rk4 B=16384 runs at ~0.5x the B=4096 aggregate rate (8x
+per-env), and 4096-wide lax.map chunking recovers only 11% — so the loss is
+not a fusion-width limit.  This probe times the pipeline STAGES at both
+batch sizes in one process so the stage whose per-env cost explodes with B
+is identified by measurement:
+
+  smooth   — unconstrained dynamics only (kinematics+CRBA+bias+chol),
+             scanned 120x to match one env-step's substep count;
+  solve1   — full constrained forward, euler frame_skip=15, iters=1;
+  solve8   — same with iters=8 (the production solver depth).
+
+The marginal solver cost is (solve8 - solve1)/7 per iteration; if smooth
+scales with B but solveN does not, the cliff lives in the Newton loop's
+working set.  Also dumps jax.profiler.device_memory_profile when the
+backend supports it.
+
+    python benchmarks/cliff_probe.py [--batches 4096,16384] [--steps 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from gym_po_tpu.physics import make_ant_model, TAG_WALLS
+from gym_po_tpu.physics.dynamics import smooth_forward_s
+from gym_po_tpu.physics.engine import PhysicsState, step
+from gym_po_tpu.utils import enable_compilation_cache, pin_platform_from_env
+
+pin_platform_from_env()
+enable_compilation_cache()
+
+STAND = np.array(
+    [0.0, 0.0, 0.55, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, -1.0, 0.0, -1.0,
+     0.0, 1.0], np.float32,
+)
+
+
+def timed(run, args, n_env_steps, windows=5):
+    t0 = time.perf_counter()
+    float(run(*args))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        float(run(*args))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    return compile_s, med, n_env_steps / med
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="4096,16384")
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--frame-skip", type=int, default=15)
+    args = ap.parse_args()
+
+    model = make_ant_model(TAG_WALLS)
+    print(f"device={jax.devices()[0].platform}")
+
+    for b in (int(x) for x in args.batches.split(",")):
+        key = jax.random.PRNGKey(0)
+        kq, kv, ka = jax.random.split(key, 3)
+        qpos = jnp.asarray(STAND)[None] + 0.01 * jax.random.normal(
+            kq, (b, 15), jnp.float32)
+        qvel = 0.1 * jax.random.normal(kv, (b, 14), jnp.float32)
+        warm = jnp.zeros((b, 14), jnp.float32)
+        ctrl = jax.random.uniform(ka, (b, 8), jnp.float32, -1.0, 1.0)
+
+        # ---- smooth-only, scanned fs*steps times ----
+        def smooth_one(q, v, c):
+            _, _, qacc, _ = smooth_forward_s(model, q, v, c)
+            return jnp.stack(qacc)
+
+        smooth_v = jax.vmap(smooth_one)
+
+        @jax.jit
+        def run_smooth(qpos, qvel, ctrl):
+            def body(carry, _):
+                v = carry
+                a = smooth_v(qpos, v, ctrl)
+                return v + model.dt * a, ()
+            v, _ = jax.lax.scan(body, qvel, None,
+                                length=args.frame_skip * args.steps)
+            return jnp.sum(v)
+
+        c_s, med, sps = timed(run_smooth, (qpos, qvel, ctrl),
+                              b * args.steps)
+        print(f"B={b:6d} smooth : compile={c_s:7.1f}s "
+              f"median={med*1e3:8.1f}ms env-steps/s={sps:12,.0f}",
+              flush=True)
+
+        # ---- full constrained forward at iters 1 and 8 ----
+        for iters in (1, 8):
+            one = jax.vmap(lambda q, v, w, c: step(
+                model, PhysicsState(q, v, w), c,
+                frame_skip=args.frame_skip, iters=iters,
+                integrator="euler"))
+
+            @jax.jit
+            def run(qpos, qvel, warm, ctrl):
+                def body(carry, _):
+                    s = one(*carry, ctrl)
+                    return (s.qpos, s.qvel, s.warm), ()
+                (q, v, _), _ = jax.lax.scan(
+                    body, (qpos, qvel, warm), None, length=args.steps)
+                return jnp.sum(q) + jnp.sum(v)
+
+            c_s, med, sps = timed(run, (qpos, qvel, warm, ctrl),
+                                  b * args.steps)
+            print(f"B={b:6d} solve{iters}: compile={c_s:7.1f}s "
+                  f"median={med*1e3:8.1f}ms env-steps/s={sps:12,.0f}",
+                  flush=True)
+
+        try:
+            prof = jax.profiler.device_memory_profile()
+            print(f"B={b:6d} device_memory_profile: {len(prof)} bytes "
+                  "(pprof blob)", flush=True)
+        except Exception as e:
+            print(f"B={b:6d} device_memory_profile unavailable: {e!r}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

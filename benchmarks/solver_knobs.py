@@ -24,9 +24,10 @@ import numpy as np
 sys.path.insert(0, ".")  # repo root
 from gym_po_tpu.physics import make_ant_model, TAG_WALLS
 from gym_po_tpu.physics.engine import PhysicsState, step
-from gym_po_tpu.utils import pin_platform_from_env
+from gym_po_tpu.utils import enable_compilation_cache, pin_platform_from_env
 
 pin_platform_from_env()
+enable_compilation_cache()
 
 STAND = np.array(
     [0.0, 0.0, 0.55, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, -1.0, 0.0, -1.0,
