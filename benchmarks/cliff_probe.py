@@ -121,13 +121,48 @@ def main() -> None:
                   f"median={med*1e3:8.1f}ms env-steps/s={sps:12,.0f}",
                   flush=True)
 
-        try:
-            prof = jax.profiler.device_memory_profile()
-            print(f"B={b:6d} device_memory_profile: {len(prof)} bytes "
-                  "(pprof blob)", flush=True)
-        except Exception as e:
-            print(f"B={b:6d} device_memory_profile unavailable: {e!r}",
-                  flush=True)
+        # NOTE: jax.profiler.device_memory_profile() is NOT survivable on
+        # the axon tunnel — the PJRT plugin LOG(FATAL)s with
+        # "PJRT_Executable_SizeOfGeneratedCodeInBytes is not implemented"
+        # (an abort, not a Python exception).  Memory attribution must come
+        # from differential timing instead.
+
+        # ---- the remedy: sequential host dispatches of 4096-wide
+        # executables (the compiled sweet spot).  Measured 69.3k aggregate
+        # env-steps/s at B=16384 vs 33.7k for the monolithic program —
+        # the cliff is compiled-shape-dependent (VMEM spill of the Newton
+        # loop's ~400 [B]-wide row arrays), not HBM capacity. ----
+        C = 4096
+        if b > C:
+            one_c = jax.vmap(lambda q, v, w, c: step(
+                model, PhysicsState(q, v, w), c,
+                frame_skip=args.frame_skip, iters=8, integrator="euler"))
+
+            @jax.jit
+            def run_c(qpos, qvel, warm, ctrl):
+                def body(carry, _):
+                    s = one_c(*carry, ctrl)
+                    return (s.qpos, s.qvel, s.warm), ()
+                (q, v, _), _ = jax.lax.scan(
+                    body, (qpos, qvel, warm), None, length=args.steps)
+                return jnp.sum(q) + jnp.sum(v)
+
+            parts = [
+                (qpos[i * C:(i + 1) * C], qvel[i * C:(i + 1) * C],
+                 warm[i * C:(i + 1) * C], ctrl[i * C:(i + 1) * C])
+                for i in range(b // C)
+            ]
+            _ = sum(float(run_c(*p)) for p in parts)   # compile + warm
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                outs = [run_c(*p) for p in parts]      # dispatches pipeline
+                _ = sum(float(o) for o in outs)
+                times.append(time.perf_counter() - t0)
+            med = float(np.median(times))
+            print(f"B={b:6d} hostloop{C}: "
+                  f"median={med*1e3:8.1f}ms "
+                  f"env-steps/s={b*args.steps/med:12,.0f}", flush=True)
 
 
 if __name__ == "__main__":

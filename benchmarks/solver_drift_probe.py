@@ -35,14 +35,13 @@ STAND = np.array(
 )
 
 
-def traj(mdl, ctrls, dtype, iters, ls_iters, chord=0):
+def traj(mdl, ctrls, dtype, iters, ls_iters):
     st = eng.init_state(mdl, jnp.asarray(STAND, dtype), jnp.zeros(14, dtype))
 
     @jax.jit
     def run(st, ctrl):
         def body(s, c):
-            s = eng.rk4_step(mdl, s, c, iters=iters, ls_iters=ls_iters,
-                             chord_iters=chord)
+            s = eng.rk4_step(mdl, s, c, iters=iters, ls_iters=ls_iters)
             return s, (s.qpos, s.qvel)
         return jax.lax.scan(body, st, ctrl)[1]
 
@@ -73,15 +72,13 @@ def main() -> None:
           f"|qvel|max={np.abs(qv64).max():.3g}")
 
     for cfg in args.configs.split(","):
-        parts = [int(x) for x in cfg.split(":")]
-        it, ls = parts[0], parts[1]
-        ch = parts[2] if len(parts) > 2 else 0
-        qp, qv = traj(mdl, ctrls, jnp.float32, it, ls, ch)
+        it, ls = (int(x) for x in cfg.split(":"))
+        qp, qv = traj(mdl, ctrls, jnp.float32, it, ls)
         dpos = np.abs(qp[:, :3] - qp64[:, :3]).max()
         dvel = np.abs(qv - qv64).max()
         pen = deepest(mdl, qp)
         z = qp[:, 2]
-        print(f"f32 iters={it:2d} ls={ls:2d} chord={ch:2d}: "
+        print(f"f32 iters={it:2d} ls={ls:2d}: "
               f"max|dpos|={dpos:.4g} "
               f"max|dqvel|={dvel:.4g} deepest={pen:.4g} "
               f"z=[{z.min():.3f},{z.max():.3f}] "

@@ -61,12 +61,10 @@ def main() -> None:
     for cfg in args.configs.split(","):
         parts = [int(x) for x in cfg.split(":")]
         iters, ls = parts[0], parts[1]
-        chord = parts[2] if len(parts) > 2 else 0
 
         one = jax.vmap(lambda q, v, w, c: step(
             model, PhysicsState(q, v, w), c, frame_skip=args.frame_skip,
-            iters=iters, integrator=args.integrator, ls_iters=ls,
-            chord_iters=chord))
+            iters=iters, integrator=args.integrator, ls_iters=ls))
 
         @jax.jit
         def run(qpos, qvel, warm, ctrl):
@@ -88,7 +86,7 @@ def main() -> None:
             float(run(qpos, qvel, warm, ctrl))
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
-        print(f"iters={iters:2d} ls_iters={ls:2d} chord={chord:2d}"
+        print(f"iters={iters:2d} ls_iters={ls:2d}"
               f"  compile={compile_s:7.2f}s"
               f"  median={med * 1e3:8.2f}ms"
               f"  env-steps/s={b * args.steps / med:12,.0f}", flush=True)

@@ -104,14 +104,12 @@ class _AntPhysicsBase(Environment):
 
     def __init__(self, walls, time_limit: int, frame_skip: int,
                  solver_iters: int, integrator: str = "rk4",
-                 ls_iters: int = 10, chord_iters: int = 0,
-                 pipeline: str = "scalar"):
+                 ls_iters: int = 10, pipeline: str = "scalar"):
         self.model = make_ant_model(walls)
         self.time_limit = int(time_limit)
         self.frame_skip = int(frame_skip)
         self.solver_iters = int(solver_iters)
         self.ls_iters = int(ls_iters)
-        self.chord_iters = int(chord_iters)
         self.pipeline = str(pipeline)
         self.integrator = str(integrator)
         self._action_space = Box(-1.0, 1.0, (8,), dtype=jnp.float32)
@@ -131,7 +129,6 @@ class _AntPhysicsBase(Environment):
                            iters=self.solver_iters,
                            integrator=self.integrator,
                            ls_iters=self.ls_iters,
-                           chord_iters=self.chord_iters,
                            pipeline=self.pipeline)
         return out.qpos, out.qvel, out.warm
 
@@ -162,10 +159,9 @@ class AntTagPhysics(_AntPhysicsBase):
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
                  solver_iters: int = 8, integrator: str = "rk4",
-                 ls_iters: int = 10, chord_iters: int = 0,
-                 pipeline: str = "scalar"):
+                 ls_iters: int = 10, pipeline: str = "scalar"):
         super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters,
-                         integrator, ls_iters, chord_iters, pipeline)
+                         integrator, ls_iters, pipeline)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (29,), dtype=jnp.float32
         )
@@ -308,11 +304,9 @@ class AntHeavenHellPhysics(_AntPhysicsBase):
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
                  solver_iters: int = 8, integrator: str = "rk4",
-                 ls_iters: int = 10, chord_iters: int = 0,
-                 pipeline: str = "scalar"):
+                 ls_iters: int = 10, pipeline: str = "scalar"):
         super().__init__(HEAVEN_HELL_WALLS, time_limit, frame_skip,
-                         solver_iters, integrator, ls_iters, chord_iters,
-                         pipeline)
+                         solver_iters, integrator, ls_iters, pipeline)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (28,), dtype=jnp.float32
         )

@@ -59,7 +59,7 @@ from .dynamics import (
     Kinematics, SKin, _is0, mt_vec, m_vec, point_jacobian, v_add, v_cross,
     v_dot, v_scale, v_sub,
 )
-from .linalg import chol_backsub_s, chol_factor_s, chol_solve, chol_solve_s
+from .linalg import chol_solve, chol_solve_s
 
 __all__ = ["constraint_rows", "constraint_rows_scalar",
            "constraint_rows_array", "solve_constraints",
@@ -911,7 +911,7 @@ def solve_constraints_newton(model: AntModel, M, qacc_smooth,
 
 def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
                                iters: int = 8, ls_iters: int = 10,
-                               qacc0=None, chord_iters: int = 0):
+                               qacc0=None):
     """Primal Newton solve on the scalar row structure — the perf path.
 
     Same math as :func:`solve_constraints_newton` (piecewise-quadratic
@@ -930,15 +930,13 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
     lists, ``rows`` comes from :func:`constraint_rows_scalar`.  Returns a
     length-nv scalar list.
 
-    ``chord_iters`` appends that many **chord (frozen-Hessian) iterations**
-    after the ``iters`` full Newton steps: the Hessian is assembled and
-    factorized ONCE at the full-Newton iterate, and each chord iteration
-    reuses the factor — exact gradient + exact bisection line search on the
-    true cost are kept, so every chord step still strictly descends φ
-    (globally convergent, linear rate).  A chord iteration skips the
-    Hessian assembly (~2 ops per support-pair per row) and the O(nv^3)
-    refactorization; warm-started solves converge to the same fixed point
-    (drift probe: ``benchmarks/solver_drift_probe.py``)."""
+    A chord (frozen-Hessian) tail phase was measured on hardware and
+    REMOVED: at euler/B=4096 every mix lost to pure full Newton (8 full =
+    64.1k env-steps/s vs 4+8 chord = 31.3k, 2+6 = 40.9k, 4+4 = 37.7k —
+    the frozen factor's 105 [B]-arrays stay live across a second loop and
+    the exact line search, the real per-iteration cost, is kept), see
+    BASELINE.md / docs/ARCHITECTURE.md negative results."""
+
     nv = model.nv
     supports = [
         [(d, row["j"][d]) for d in range(nv) if not _is0(row["j"][d])]
@@ -1026,19 +1024,5 @@ def solve_constraints_newton_s(model: AntModel, M_s, qacc_smooth, rows,
         return ls_update(q, mq, slack, dq)
 
     q = jax.lax.fori_loop(0, iters, body, tuple(q0))
-
-    if chord_iters:
-        # Freeze the Hessian (assembly + factorization) at the full-Newton
-        # iterate; chord steps reuse the factor.
-        _, slack_f, _ = grad_slack(list(q))
-        L = chol_factor_s(assemble_h(slack_f))
-
-        def chord_body(_, q):
-            q = list(q)
-            mq, slack, grad = grad_slack(q)
-            dq = chol_backsub_s(L, [-g for g in grad])
-            return ls_update(q, mq, slack, dq)
-
-        q = jax.lax.fori_loop(0, chord_iters, chord_body, q)
 
     return list(q)

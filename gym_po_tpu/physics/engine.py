@@ -55,7 +55,7 @@ def init_state(model: AntModel, qpos, qvel) -> PhysicsState:
 
 
 def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
-            iters: int = 10, ls_iters: int = 10, chord_iters: int = 0,
+            iters: int = 10, ls_iters: int = 10,
             pipeline: str = "scalar"):
     """Constrained forward dynamics → (qacc, warm_out).
 
@@ -63,15 +63,16 @@ def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
     ``qacc - qacc_smooth``; Newton starts from ``qacc_smooth + warm``
     (zero warm start == the unconstrained solution, already correct for
     contact-free frames).  ``ls_iters`` = bisections per Newton line
-    search, ``chord_iters`` = extra frozen-Hessian iterations (both
-    accuracy/speed knobs, see ``solve_constraints_newton_s``).
+    search (an accuracy/speed knob, see ``solve_constraints_newton_s``;
+    a chord tail phase was measured strictly slower on hardware and
+    removed — BASELINE.md).
 
     ``pipeline`` selects the constraint formulation: ``"scalar"`` (the
     TPU runtime perf path — static per-row dof sparsity, straight-line
     [B]-vector code under vmap) or ``"array"`` (same math on stacked row
     arrays via :func:`..contact.constraint_rows_array` — ~50x smaller HLO,
-    for compile-time-bound settings like the XLA:CPU multichip dryrun;
-    ``chord_iters`` is a scalar-path knob and is ignored here)."""
+    for compile-time-bound settings like the XLA:CPU multichip
+    dryrun)."""
     dtype = qpos.dtype
     nv = model.nv
     if pipeline == "array":
@@ -90,7 +91,7 @@ def forward(model: AntModel, qpos, qvel, ctrl, warm=None,
     q0 = qacc_s if warm is None else [qacc_s[d] + warm[d] for d in range(nv)]
     qacc_l = solve_constraints_newton_s(model, M_s, qacc_s, rows,
                                         iters=iters, ls_iters=ls_iters,
-                                        qacc0=q0, chord_iters=chord_iters)
+                                        qacc0=q0)
     qacc = jnp.stack([jnp.asarray(x, dtype) for x in qacc_l])
     qacc_smooth = jnp.stack([jnp.asarray(x, dtype) for x in qacc_s])
     return qacc, qacc - qacc_smooth
@@ -113,7 +114,7 @@ _RK_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 def rk4_step(model: AntModel, state: PhysicsState, ctrl,
              iters: int = 10, ls_iters: int = 10,
-             chord_iters: int = 0, pipeline: str = "scalar") -> PhysicsState:
+             pipeline: str = "scalar") -> PhysicsState:
     """One RK4 step of length ``model.dt`` (== ``mj_RungeKutta(m, d, 4)``).
 
     Rolled as a 4-stage ``lax.scan`` (one ``forward`` in the trace)."""
@@ -128,7 +129,7 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
         qpos_i = _integrate_pos(model, qpos0, c * vel_prev, dt)
         qvel_i = qvel0 + (dt * c) * acc_prev
         acc_i, w = forward(model, qpos_i, qvel_i, ctrl, w, iters, ls_iters,
-                           chord_iters, pipeline)
+                           pipeline)
         return (qvel_i, acc_i, vsum + b * qvel_i, asum + b * acc_i, w), ()
 
     cb = (jnp.asarray(_RK_C, dtype), jnp.asarray(_RK_B, dtype))
@@ -143,7 +144,6 @@ def rk4_step(model: AntModel, state: PhysicsState, ctrl,
 
 def euler_step(model: AntModel, state: PhysicsState, ctrl,
                iters: int = 10, ls_iters: int = 10,
-               chord_iters: int = 0,
                pipeline: str = "scalar") -> PhysicsState:
     """One semi-implicit Euler step: ``qvel' = qvel + dt qacc``, position
     integrated with the NEW velocity.
@@ -154,7 +154,7 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
     symplectic variant (one constrained ``forward`` per step instead of
     RK4's four: ~4x less compute and a 4x smaller trace)."""
     qacc, w = forward(model, state.qpos, state.qvel, ctrl, state.warm,
-                      iters, ls_iters, chord_iters, pipeline)
+                      iters, ls_iters, pipeline)
     qvel = state.qvel + model.dt * qacc
     return PhysicsState(
         _integrate_pos(model, state.qpos, qvel, model.dt), qvel, w
@@ -163,7 +163,7 @@ def euler_step(model: AntModel, state: PhysicsState, ctrl,
 
 def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
          iters: int = 10, integrator: str = "rk4",
-         ls_iters: int = 10, chord_iters: int = 0,
+         ls_iters: int = 10,
          unroll: int = 1, pipeline: str = "scalar") -> PhysicsState:
     """``frame_skip`` integrator steps with ``ctrl`` held
     (``MujocoEnv.do_simulation``).  ``integrator``: ``"rk4"`` (reference
@@ -178,8 +178,7 @@ def step(model: AntModel, state: PhysicsState, ctrl, frame_skip: int = 15,
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def body(s, _):
-        return substep(model, s, ctrl, iters, ls_iters, chord_iters,
-                       pipeline), ()
+        return substep(model, s, ctrl, iters, ls_iters, pipeline), ()
 
     out, _ = jax.lax.scan(body, state, None, length=frame_skip,
                           unroll=unroll)

@@ -274,38 +274,13 @@ def test_euler_integrator_stable_and_consistent(oracle):
         eng.step(mdl, s_eu, jnp.zeros(8), integrator="verlet")
 
 
-@pytest.mark.slow
-def test_chord_iterations_reach_full_newton_fixed_point(oracle):
-    """Chord (frozen-Hessian) iterations converge to the SAME qacc fixed
-    point as pure full-Newton: 4 full + 8 chord must match iters=15 far
-    more tightly than 4 full alone (the chord steps keep the exact gradient
-    and exact line search, only the factorization is reused —
-    contact.solve_constraints_newton_s)."""
-    _, _, mdl = oracle
-    with jax.enable_x64(True):
-        qpos = jnp.asarray(STAND, jnp.float64)
-        qvel = jnp.asarray(0.1 * np.arange(14), jnp.float64)
-        ctrl = jnp.full((8,), 0.3, jnp.float64)
-
-        def qacc(iters, chord):
-            # eager on purpose: jitting compiles the f64 scalar forward per
-            # (iters, chord) config — measured SLOWER than the ~10 min of
-            # eager dispatch (XLA:CPU chokes on the 150k-op scalar trace,
-            # same pathology as the r03 dryrun regression)
-            out, _ = eng.forward(mdl, qpos, qvel, ctrl,
-                                 iters=iters, chord_iters=chord)
-            return np.asarray(out)
-
-        ref = qacc(15, 0)
-        err_chord = np.abs(qacc(4, 8) - ref).max()
-        err_bare = np.abs(qacc(4, 0) - ref).max()
-        assert err_chord < 1e-10, err_chord
-        # Negative control, empirically calibrated: measured err_bare ≈ 5e-5
-        # vs err_chord ≈ 1.3e-15 on this state.  If this line ever fails
-        # with a SMALL err_bare, it means 4 bare Newton iterations got much
-        # tighter (solver improvement) — retune the control rather than
-        # suspecting a chord regression.
-        assert err_bare > 100 * max(err_chord, 1e-14), (err_bare, err_chord)
+# The chord (frozen-Hessian) solver phase and its fixed-point test were
+# REMOVED in r4: hardware measurement showed every chord mix strictly
+# slower than pure full Newton (8 full = 64.1k env-steps/s at euler/B=4096
+# vs 4+8 chord = 31.3k, 2+6 = 40.9k, 4+4 = 37.7k) — the frozen factor's
+# 105 [B]-arrays stay live across a second loop and the exact line search,
+# the dominant per-iteration cost, is kept.  See BASELINE.md and
+# docs/ARCHITECTURE.md negative results.
 
 
 def _random_states(n, seed=0):
