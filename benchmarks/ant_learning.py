@@ -33,7 +33,9 @@ from gym_po_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 from gym_po_tpu.agents import (  # noqa: E402
     PPOConfig,
+    init_rnn_state,
     init_train_state,
+    make_rnn_train_step,
     make_train_step,
 )
 
@@ -50,6 +52,10 @@ def main():
     ap.add_argument("--entropy-coef", type=float, default=0.01)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--rnn", action="store_true",
+                    help="GRU-PPO (the POMDP-proper learner: the target is "
+                    "visible only within radius 3; recurrence can carry "
+                    "the last-seen position)")
     ap.add_argument("--ckpt", default="",
                     help="checkpoint dir for crash-resilient segmented "
                     "runs: restores the latest TrainState, saves after "
@@ -65,7 +71,11 @@ def main():
         learning_rate=args.lr,
         hidden=(64, 64),
     )
-    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+    if args.rnn:
+        cfg = cfg._replace(shuffle="none")  # rnn minibatches split env axis
+        net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(args.seed))
+    else:
+        net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
     start = 0
     if args.ckpt:
         from gym_po_tpu.utils.checkpoint import (latest_step,
@@ -81,7 +91,8 @@ def main():
     # tunnel's TPU worker ("kernel fault"); per-update dispatches (~2 s)
     # run fine, and the 170 ms dispatch overhead is <10% here.  Metrics
     # are still fetched only at chunk boundaries.
-    step = make_train_step(env, net, cfg)
+    step = (make_rnn_train_step if args.rnn else make_train_step)(
+        env, net, cfg)
 
     steps_per_update = args.num_envs * args.rollout
     history = []
@@ -113,7 +124,8 @@ def main():
     first = history[0]["tag_rate_per_step"]
     last = history[-1]["tag_rate_per_step"]
     print(json.dumps({
-        "metric": f"ant_tag_ppo_learning ({args.integrator}, "
+        "metric": f"ant_tag_{'gru_' if args.rnn else ''}ppo_learning "
+        f"({args.integrator}, "
         f"B={args.num_envs}, T={args.rollout}, {args.updates} updates)",
         "tag_rate_first_chunk": first,
         "tag_rate_last_chunk": last,
