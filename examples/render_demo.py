@@ -25,13 +25,17 @@ CONFIGS = [
     ("CRooms-v0", {"layout": "4", "obs_type": "mdp", "goal_xy": None}),
     ("MultistoryFourRooms-v0", {"grid_z": 3, "obs_type": "mdp"}),
     ("CarFlag-v0", {"time_limit": 60}),
-    # euler/fs=1/iters=1 keeps the CPU compile to seconds (the RK4/fs=5
-    # graph takes minutes to compile on CPU — same trick as
-    # __graft_entry__.dryrun_multichip); the renderer is physics-agnostic
+    # euler/fs=1/iters=1 + the ARRAY constraint pipeline keep the CPU
+    # compile to seconds (the scalar TPU perf path's graph takes ~8 min of
+    # XLA:CPU compile even at this reduced config — same compile-budget
+    # trick as __graft_entry__.dryrun_multichip); the renderer is
+    # physics-agnostic
     ("AntTagPhysics-v0",
-     {"frame_skip": 1, "solver_iters": 1, "integrator": "euler"}),
+     {"frame_skip": 1, "solver_iters": 1, "integrator": "euler",
+      "pipeline": "array"}),
     ("AntHeavenHellPhysics-v0",
-     {"frame_skip": 1, "solver_iters": 1, "integrator": "euler"}),
+     {"frame_skip": 1, "solver_iters": 1, "integrator": "euler",
+      "pipeline": "array"}),
 ]
 
 

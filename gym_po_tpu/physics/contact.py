@@ -467,7 +467,10 @@ def contact_candidates_s(model: AntModel, s: SKin):
     big = 1e9
     p0s = tuple(jnp.stack([c[0][k] for c in capsules]) for k in range(3))
     p1s = tuple(jnp.stack([c[1][k] for c in capsules]) for k in range(3))
-    r_caps = jnp.asarray(np.array([c[2] for c in capsules]))
+    # radii are static floats; pin the stack to the traced dtype (a bare
+    # np.float64 array would promote the whole f32 pipeline under x64 mode)
+    r_caps = jnp.asarray(np.array([c[2] for c in capsules]),
+                         p0s[0].dtype)
 
     def at_i(val, i):
         """Slice candidate i out of a batched scalar (0-d statics pass
