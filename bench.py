@@ -17,6 +17,7 @@ envs.
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -234,7 +235,10 @@ def main():
             ("ant_ppo_env_steps_per_s (B=4096, T=16, full update)",
              "bench_ant_ppo"),
         ):
-            code = (f"import bench; print('RES', round(bench.{fn_name}()))")
+            # resolve `import bench` regardless of the parent's cwd
+            repo = os.path.dirname(os.path.abspath(__file__))
+            code = (f"import sys; sys.path.insert(0, {repo!r}); "
+                    f"import bench; print('RES', round(bench.{fn_name}()))")
             try:
                 proc = subprocess.run(
                     [sys.executable, "-c", code], capture_output=True,

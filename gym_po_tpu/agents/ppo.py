@@ -266,6 +266,10 @@ def _build_update(
         )
         metrics = jax.tree.map(lambda x: x.mean(), aux)
         metrics["mean_reward"] = rew.mean()
+        # terminal-event rates for sparse ±1 tasks (tag / heaven-hell):
+        # pos = success events per env-step, neg = failure events
+        metrics["pos_reward_rate"] = (rew > 0).mean()
+        metrics["neg_reward_rate"] = (rew < 0).mean()
         if mesh is not None:
             metrics = jax.lax.pmean(metrics, axis)
         new_ts = TrainState(

@@ -304,6 +304,9 @@ def make_rnn_train_step(
         )
         metrics = jax.tree.map(lambda x: x.mean(), aux)
         metrics["mean_reward"] = rew.mean()
+        # terminal-event rates for sparse ±1 tasks (see ppo.py)
+        metrics["pos_reward_rate"] = (rew > 0).mean()
+        metrics["neg_reward_rate"] = (rew < 0).mean()
         if mesh is not None:
             metrics = jax.lax.pmean(metrics, axis)
         new_ts = RNNTrainState(

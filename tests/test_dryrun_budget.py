@@ -51,7 +51,7 @@ def test_dryrun_multichip_within_budget():
         pytest.fail(
             "dryrun_multichip(8) blew the 300 s budget — the driver's "
             "MULTICHIP artifact would time out (see MULTICHIP_r03). "
-            f"stderr tail: {(e.stderr or b'')[-2000:]}"
+            f"stderr tail: {(e.stderr or '')[-2000:]}"
         )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRYRUN_OK" in proc.stdout
