@@ -75,6 +75,14 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--minibatches", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shaped", action="store_true",
+                    help="potential-based reward shaping (exact PBRS, "
+                    "policy-invariant, envs/shaping.py): the exploration "
+                    "aid for the heaven-hell tasks, whose ±1-terminal "
+                    "reward defeats naive exploration; pos/neg rates "
+                    "still count real terminals only")
+    ap.add_argument("--shaping-coef", type=float, default=0.1)
+    ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--rnn", action="store_true",
                     help="GRU-PPO (the POMDP-proper learner: carries "
                     "last-seen target position / the priest's reveal)")
@@ -87,11 +95,20 @@ def main():
 
     kw = {"integrator": args.integrator} if args.env in PHYSICS_ENVS else {}
     env = gpt.make(args.env, **kw)
+    if args.shaped:
+        from gym_po_tpu.envs.shaping import (PotentialShaped,
+                                             heaven_hell_potential,
+                                             tag_potential)
+        pot = (heaven_hell_potential(args.shaping_coef)
+               if "HeavenHell" in args.env else
+               tag_potential(args.shaping_coef))
+        env = PotentialShaped(env, pot, gamma=args.gamma)
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_steps=args.rollout,
         epochs=args.epochs,
         minibatches=args.minibatches,
+        gamma=args.gamma,
         entropy_coef=args.entropy_coef,
         learning_rate=args.lr,
         hidden=(args.hidden, args.hidden),

@@ -57,12 +57,52 @@ def timed(run, args, n_env_steps, windows=5):
     return compile_s, med, n_env_steps / med
 
 
+def bench_api(batches, steps):
+    """Measure the PUBLIC chunked API (vector.chunked_rollout) on the real
+    AntTagPhysics-v0 env — monolithic vs dispatch_batch=4096 — so the
+    remedy's BASELINE row attaches to the surface users actually call."""
+    import gym_po_tpu as gpt
+    from gym_po_tpu.vector import chunked_rollout, rollout
+
+    env = gpt.make("AntTagPhysics-v0", integrator="euler")
+    for b in batches:
+        obs, state = jax.jit(
+            lambda k: env.reset_vec(k, b))(jax.random.PRNGKey(0))
+        jax.block_until_ready(obs)
+        for label, fn in (
+            ("monolithic", lambda k, init: rollout(
+                env, k, None, b, steps, init=init)),
+            ("chunked4096", lambda k, init: chunked_rollout(
+                env, k, None, b, steps, dispatch_batch=4096, init=init)),
+        ):
+            key = jax.random.PRNGKey(1)
+            traj, fin = fn(key, (obs, state))          # compile + warm
+            _ = float(jnp.sum(traj.reward)) + float(jnp.sum(fin[0]))
+            times = []
+            for w in range(5):
+                t0 = time.perf_counter()
+                traj, fin = fn(jax.random.fold_in(key, w), (obs, state))
+                # scalar fetch through the data dependency = honest sync
+                _ = float(jnp.sum(traj.reward)) + float(jnp.sum(fin[0]))
+                times.append(time.perf_counter() - t0)
+            med = float(np.median(times))
+            print(f"B={b:6d} api/{label:11s}: median={med*1e3:8.1f}ms "
+                  f"env-steps/s={b*steps/med:12,.0f}", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="4096,16384")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--frame-skip", type=int, default=15)
+    ap.add_argument("--api", action="store_true",
+                    help="bench the public vector.chunked_rollout API on "
+                    "AntTagPhysics-v0 (euler) instead of the bare engine "
+                    "stages")
     args = ap.parse_args()
+    if args.api:
+        bench_api([int(x) for x in args.batches.split(",")], args.steps)
+        return
 
     model = make_ant_model(TAG_WALLS)
     print(f"device={jax.devices()[0].platform}")

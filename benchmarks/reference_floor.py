@@ -54,6 +54,32 @@ def bench_crooms(batch, steps):
     return batch * steps / (time.perf_counter() - t0)
 
 
+def bench_car_flag(batch, steps):
+    ref = load_reference_module("gym_po.envs.car_flag")
+    env = ref.CarVecEnv(batch)
+    env.reset(seed=0)
+    rng = np.random.default_rng(0)
+    actions = rng.uniform(-1, 1, (steps, batch, 1)).astype(np.float32)
+    t0 = time.perf_counter()
+    for t in range(steps):
+        env.step(actions[t])
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def bench_msrooms(batch, steps):
+    # the mechanically-repaired oracle (tests/_reference.py: the shipped
+    # module NameErrors on its mangled signatures, SURVEY.md O6)
+    ref = load_reference_module("gym_po.envs.rooms.msrooms")
+    env = ref.MultistoryFourRoomsEnv(batch, grid_z=3, obs_type="hansen")
+    env.reset(seed=0)
+    rng = np.random.default_rng(0)
+    actions = rng.integers(0, 4, (steps, batch))
+    t0 = time.perf_counter()
+    for t in range(steps):
+        env.step(actions[t])
+    return batch * steps / (time.perf_counter() - t0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+", default=[1, 4096, 16384])
@@ -66,6 +92,8 @@ def main():
             ("hansen_taxi", lambda b, s: bench_taxi(b, s, hansen=True)),
             ("rooms_hansen", bench_rooms),
             ("crooms_velocity", bench_crooms),
+            ("car_flag", bench_car_flag),
+            ("msrooms_hansen_3floor", bench_msrooms),
         ):
             sps = fn(batch, steps)
             print(

@@ -267,9 +267,11 @@ def _build_update(
         metrics = jax.tree.map(lambda x: x.mean(), aux)
         metrics["mean_reward"] = rew.mean()
         # terminal-event rates for sparse ±1 tasks (tag / heaven-hell):
-        # pos = success events per env-step, neg = failure events
-        metrics["pos_reward_rate"] = (rew > 0).mean()
-        metrics["neg_reward_rate"] = (rew < 0).mean()
+        # pos = success events per env-step, neg = failure events.  The 0.5
+        # threshold keeps these honest under PotentialShaped rewards (the
+        # |F| ≤ ~0.05 shaping increments never count, envs/shaping.py).
+        metrics["pos_reward_rate"] = (rew > 0.5).mean()
+        metrics["neg_reward_rate"] = (rew < -0.5).mean()
         if mesh is not None:
             metrics = jax.lax.pmean(metrics, axis)
         new_ts = TrainState(

@@ -304,9 +304,10 @@ def make_rnn_train_step(
         )
         metrics = jax.tree.map(lambda x: x.mean(), aux)
         metrics["mean_reward"] = rew.mean()
-        # terminal-event rates for sparse ±1 tasks (see ppo.py)
-        metrics["pos_reward_rate"] = (rew > 0).mean()
-        metrics["neg_reward_rate"] = (rew < 0).mean()
+        # terminal-event rates for sparse ±1 tasks (see ppo.py; 0.5
+        # threshold = real terminals only, never shaping increments)
+        metrics["pos_reward_rate"] = (rew > 0.5).mean()
+        metrics["neg_reward_rate"] = (rew < -0.5).mean()
         if mesh is not None:
             metrics = jax.lax.pmean(metrics, axis)
         new_ts = RNNTrainState(

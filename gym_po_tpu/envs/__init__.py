@@ -16,6 +16,7 @@ from .ant_physics import (
     AntTagPhysics,
     AntTagPhysicsState,
 )
+from .shaping import PotentialShaped, heaven_hell_potential, tag_potential
 
 try:  # MuJoCo ant envs need the host mujoco runtime
     from .ant import AntHeavenHellEnv, AntTagEnv
@@ -48,4 +49,7 @@ __all__ = [
     "AntTagPhysicsState",
     "AntHeavenHellPhysics",
     "AntHeavenHellPhysicsState",
+    "PotentialShaped",
+    "heaven_hell_potential",
+    "tag_potential",
 ]

@@ -1,3 +1,4 @@
+from .chunked import DISPATCH_BATCH, chunked_rollout, make_chunked_step
 from .vec_env import (
     EpisodeStatsState,
     RecordEpisodeStatistics,
@@ -10,6 +11,9 @@ __all__ = [
     "VecEnv",
     "Transition",
     "rollout",
+    "chunked_rollout",
+    "make_chunked_step",
+    "DISPATCH_BATCH",
     "RecordEpisodeStatistics",
     "EpisodeStatsState",
 ]
