@@ -82,6 +82,13 @@ def main():
                     "reward defeats naive exploration; pos/neg rates "
                     "still count real terminals only")
     ap.add_argument("--shaping-coef", type=float, default=0.1)
+    ap.add_argument("--shaping-gamma", type=float, default=1.0,
+                    help="discount inside the PBRS term.  1.0 (default) = "
+                    "within-episode telescoping: loitering pays exactly 0. "
+                    "The learner-gamma value gives EXACT policy invariance "
+                    "but pays (1-gamma)*|phi| per step for loitering far "
+                    "from the goal — measured to trap PPO in a "
+                    "zero-terminal loiter policy on heaven-hell")
     ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--rnn", action="store_true",
                     help="GRU-PPO (the POMDP-proper learner: carries "
@@ -102,7 +109,7 @@ def main():
         pot = (heaven_hell_potential(args.shaping_coef)
                if "HeavenHell" in args.env else
                tag_potential(args.shaping_coef))
-        env = PotentialShaped(env, pot, gamma=args.gamma)
+        env = PotentialShaped(env, pot, gamma=args.shaping_gamma)
     cfg = PPOConfig(
         num_envs=args.num_envs,
         rollout_steps=args.rollout,

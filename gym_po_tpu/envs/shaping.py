@@ -78,8 +78,18 @@ class PotentialShaped(Environment):
     ``s'`` is the PRE-reset successor (``info["terminal_state"]``), so the
     shaping never reaches across an autoreset boundary; Φ(terminal) = 0 by
     the ``(1 − done)`` factor (the Ng et al. absorbing-state convention).
-    ``gamma`` should match the learner's discount for exact invariance.
     State, spaces, and observations pass through untouched.
+
+    ``gamma`` semantics (measured on heaven-hell, BASELINE.md):
+
+    * ``gamma = learner discount`` → EXACT policy invariance, but with a
+      negative Φ the term pays ``(1-γ)·|Φ|`` per step for *loitering far
+      from the goal* — PPO reliably converges to a zero-terminal loiter
+      policy (entropy collapse, 0 arrivals in 78M steps).
+    * ``gamma = 1.0`` (recommended) → within-episode telescoping
+      ``ΣF = Φ(end) − Φ(start)``: loitering pays exactly 0, progress pays
+      ``+coef`` per unit.  Invariance is approximate (bias ``O(1-γ)`` per
+      step), which is the standard practical trade.
     """
 
     def __init__(self, env: Environment,
