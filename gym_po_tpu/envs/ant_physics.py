@@ -159,9 +159,14 @@ class AntTagPhysics(_AntPhysicsBase):
 
     def __init__(self, time_limit: int = 500, frame_skip: int = 15,
                  solver_iters: int = 8, integrator: str = "rk4",
-                 ls_iters: int = 10, pipeline: str = "scalar"):
+                 ls_iters: int = 10, pipeline: str = "scalar",
+                 visible_radius: float = VISIBLE_RADIUS):
+        """``visible_radius``: target visibility cutoff (reference
+        ant_tag.py:77-86 uses 3.0); smaller = deeper partial
+        observability, the memory-pays regime (BASELINE.md)."""
         super().__init__(TAG_WALLS, time_limit, frame_skip, solver_iters,
                          integrator, ls_iters, pipeline)
+        self.visible_radius = float(visible_radius)
         self._observation_space = Box(
             -jnp.inf, jnp.inf, (29,), dtype=jnp.float32
         )
@@ -202,7 +207,8 @@ class AntTagPhysics(_AntPhysicsBase):
     def observe(self, state: AntTagPhysicsState) -> jax.Array:
         d2 = ((state.qpos[:2] - state.target_xy) ** 2).sum()
         tail = jnp.where(
-            d2 < VISIBLE_RADIUS**2, state.target_xy, jnp.zeros(2, jnp.float32)
+            d2 < self.visible_radius**2, state.target_xy,
+            jnp.zeros(2, jnp.float32)
         )
         return jnp.concatenate([self._core_obs(state.qpos, state.qvel), tail])
 

@@ -63,10 +63,15 @@ class TagState(EnvState):
 class TagContinuous(Environment[TagState]):
     """Point-mass tag POMDP (task constants from reference ant_tag.py)."""
 
-    def __init__(self, time_limit: int = 500, agent_speed: float = AGENT_SPEED):
+    def __init__(self, time_limit: int = 500, agent_speed: float = AGENT_SPEED,
+                 visible_radius: float = VISIBLE_RADIUS):
+        """``visible_radius``: target visibility cutoff (reference
+        ant_tag.py:77-86 uses 3.0).  Smaller values deepen the partial
+        observability — the memory-pays regime (BASELINE.md)."""
         self.name = "TagContinuous-v0"
         self.time_limit = int(time_limit)
         self.agent_speed = float(agent_speed)
+        self.visible_radius = float(visible_radius)
         self._action_space = Box(-1.0, 1.0, (2,), dtype=jnp.float32)
         hi = np.array([CAGE, CAGE, CAGE, CAGE, 1.0], np.float32)
         self._observation_space = Box(-hi, hi, (5,), dtype=jnp.float32)
@@ -99,7 +104,7 @@ class TagContinuous(Environment[TagState]):
 
     def observe(self, state: TagState) -> jax.Array:
         d = state.agent_xy - state.target_xy
-        visible = (d * d).sum() < VISIBLE_RADIUS**2
+        visible = (d * d).sum() < self.visible_radius**2
         tgt = jnp.where(visible, state.target_xy, jnp.zeros(2))
         return jnp.concatenate(
             [state.agent_xy, tgt, visible[None].astype(jnp.float32)]

@@ -108,3 +108,21 @@ def test_tag_jax_learns_with_ppo():
         ts, m = step(ts)
         rewards.append(float(m["mean_reward"]))
     assert np.isfinite(rewards).all()
+
+
+def test_visible_radius_kwarg():
+    """`visible_radius` (reference default 3.0, ant_tag.py:77-86) controls
+    the visibility cutoff — the memory-pays knob (BASELINE.md)."""
+    import gym_po_tpu as gpt
+    from gym_po_tpu.envs.tag_jax import TagState
+
+    st = TagState(
+        elapsed=jnp.zeros((), jnp.int32),
+        agent_xy=jnp.asarray([0.0, 0.0], jnp.float32),
+        target_xy=jnp.asarray([2.0, 0.0], jnp.float32),
+    )
+    e3 = gpt.make("TagContinuous-v0", visible_radius=3.0)
+    e1 = gpt.make("TagContinuous-v0", visible_radius=1.0)
+    assert float(e3.observe(st)[4]) == 1.0  # visible at the reference radius
+    assert float(e1.observe(st)[4]) == 0.0  # hidden when the cutoff shrinks
+    np.testing.assert_allclose(np.asarray(e1.observe(st)[2:4]), 0.0)
