@@ -18,6 +18,7 @@ from .ppo import (
     PPOConfig,
     TrainState,
     init_train_state,
+    make_chunked_train_step,
     make_multi_train_step,
     make_train_step,
     shard_train_state,
@@ -32,6 +33,7 @@ __all__ = [
     "init_train_state",
     "make_train_step",
     "make_multi_train_step",
+    "make_chunked_train_step",
     "shard_train_state",
     "train",
     "RecurrentActorCritic",

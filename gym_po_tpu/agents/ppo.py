@@ -327,6 +327,155 @@ def make_train_step(
     return jax.jit(_build_update(env, net, config, mesh, axis))
 
 
+def make_chunked_train_step(
+    env: Environment,
+    net: ActorCritic,
+    config: PPOConfig,
+    dispatch_batch: int = 4096,
+) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Single-chip PPO update for ``num_envs`` ABOVE the engine's compiled
+    sweet spot: the rollout runs as ``num_envs / dispatch_batch`` sequential
+    dispatches of a ``dispatch_batch``-compiled program (the measured B>4096
+    remedy — BASELINE.md cliff table, ``vector.chunked``), and the
+    epochs×minibatches update runs once on the concatenated batch (dense
+    matmuls don't have the Newton-loop VMEM problem, so full-batch is fine
+    there).  Host-side orchestration costs ~170 ms per extra dispatch —
+    noise next to the 2× rollout win on the ant envs.
+
+    Semantics match :func:`make_train_step` except PRNG chunking: chunk
+    ``i`` draws from ``fold_in(key, i)`` streams (same distributions).
+    Requires ``dispatch_batch | num_envs``; at or below the sweet spot it
+    just returns :func:`make_train_step`.
+    """
+    if config.num_envs <= dispatch_batch:
+        return make_train_step(env, net, config)
+    if config.num_envs % dispatch_batch:
+        raise ValueError("dispatch_batch must divide num_envs")
+    n_chunks = config.num_envs // dispatch_batch
+    tx = _optimizer(config)
+    mb_size = (config.num_envs * config.rollout_steps) // config.minibatches
+
+    @jax.jit
+    def rollout_chunk(params, key, obs0, state0):
+        """T-step rollout + GAE for ONE dispatch_batch-wide chunk."""
+
+        def env_step(carry, _):
+            obs, est, key = carry
+            key, ka, ks = jax.random.split(key, 3)
+            pi, value = net.apply(params, obs)
+            action, logp = networks.sample_action(pi, ka)
+            nobs, nest, rew, done, trunc, info = env.step_vec(ks, est, action)
+            _, v_term = net.apply(
+                params, env.observe_vec(info["terminal_state"])
+            )
+            fin = (done | trunc).astype(jnp.float32)
+            out = (obs, action, logp, value, v_term,
+                   done.astype(jnp.float32), rew.astype(jnp.float32),
+                   1.0 - fin)
+            return (nobs, nest, key), out
+
+        (obs_f, est_f, _), (
+            obs, action, logp, value, v_term, done, rew, cont
+        ) = jax.lax.scan(
+            env_step, (obs0, state0, key), None,
+            length=config.rollout_steps,
+        )
+        adv, target = _gae(
+            rew, value, v_term, done, cont, config.gamma, config.gae_lambda
+        )
+        flat = _Batch(
+            obs=obs.reshape(-1, *obs.shape[2:]),
+            action=action.reshape(-1, *action.shape[2:]),
+            logp=logp.reshape(-1),
+            value=value.reshape(-1),
+            advantage=adv.reshape(-1),
+            target=target.reshape(-1),
+        )
+        return flat, (obs_f, est_f), rew.mean(), (rew > 0.5).mean(), \
+            (rew < -0.5).mean()
+
+    @jax.jit
+    def update(params, opt_state, key, flat: _Batch):
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            n = flat.obs.shape[0]
+            if config.shuffle == "permute":
+                perm = jax.random.permutation(kp, n)
+                shuffled = jax.tree.map(lambda x: x[perm], flat)
+            elif config.shuffle == "roll":
+                shift = jax.random.randint(kp, (), 0, n)
+                shuffled = jax.tree.map(
+                    lambda x: jnp.roll(x, shift, axis=0), flat
+                )
+            else:
+                shuffled = flat
+
+            def minibatch(carry, mb):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    _loss_fn, has_aux=True
+                )(params, net, mb, config)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), {**aux, "loss": loss}
+
+            mbs = jax.tree.map(
+                lambda x: x.reshape(
+                    config.minibatches, mb_size, *x.shape[1:]
+                ),
+                shuffled,
+            )
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), mbs
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, _), aux = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=config.epochs
+        )
+        return params, opt_state, jax.tree.map(lambda x: x.mean(), aux)
+
+    def split(tree, i):
+        return jax.tree.map(
+            lambda x: x[i * dispatch_batch:(i + 1) * dispatch_batch], tree
+        )
+
+    def step(ts: TrainState) -> Tuple[TrainState, dict]:
+        key, ku = jax.random.split(ts.key)
+        outs = [
+            rollout_chunk(
+                ts.params, jax.random.fold_in(key, i),
+                split(ts.env_obs, i), split(ts.env_state, i),
+            )
+            for i in range(n_chunks)  # async: dispatches pipeline on-device
+        ]
+        flat = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[o[0] for o in outs]
+        )
+        obs_f = jnp.concatenate([o[1][0] for o in outs], axis=0)
+        est_f = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0),
+            *[o[1][1] for o in outs]
+        )
+        params, opt_state, metrics = update(
+            ts.params, ts.opt_state, ku, flat
+        )
+        metrics["mean_reward"] = sum(o[2] for o in outs) / n_chunks
+        metrics["pos_reward_rate"] = sum(o[3] for o in outs) / n_chunks
+        metrics["neg_reward_rate"] = sum(o[4] for o in outs) / n_chunks
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_obs=obs_f,
+            env_state=est_f,
+            key=key,
+            update_idx=ts.update_idx + 1,
+        ), metrics
+
+    return step
+
+
 def make_multi_train_step(
     env: Environment,
     net: ActorCritic,

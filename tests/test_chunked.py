@@ -97,3 +97,43 @@ def test_chunked_step_on_ant_physics_tiny():
     )
     assert nobs.shape == (B, 29)
     assert np.isfinite(np.asarray(nobs)).all()
+
+
+def test_chunked_train_step_runs_and_learns_shape():
+    """Learner-side cliff remedy: chunked rollout dispatches + one
+    full-batch update.  Checks the TrainState round-trips with full-B env
+    fields, params change, and metrics are finite; throughput is the
+    hardware bench's job."""
+    from gym_po_tpu.agents import (PPOConfig, init_train_state,
+                                   make_chunked_train_step)
+
+    env = gpt.make("HansenTaxi-v4")
+    cfg = PPOConfig(num_envs=64, rollout_steps=8, epochs=2, minibatches=2,
+                    hidden=(16, 16))
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    step = make_chunked_train_step(env, net, cfg, dispatch_batch=16)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.params)
+    ts, m = step(ts)
+    ts, m = step(ts)
+    assert int(ts.update_idx) == 2
+    assert ts.env_obs.shape[0] == 64
+    assert np.isfinite(float(m["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), before, ts.params)
+    assert any(jax.tree.leaves(changed))
+
+
+def test_chunked_train_step_small_batch_is_plain_train_step():
+    from gym_po_tpu.agents import (PPOConfig, init_train_state,
+                                   make_chunked_train_step, make_train_step)
+
+    env = gpt.make("Taxi-v4")
+    cfg = PPOConfig(num_envs=16, rollout_steps=4, epochs=1, minibatches=1,
+                    hidden=(8,))
+    net, ts = init_train_state(env, cfg, jax.random.PRNGKey(0))
+    sc = make_chunked_train_step(env, net, cfg, dispatch_batch=4096)
+    sp = make_train_step(env, net, cfg)
+    tc, mc = sc(ts)
+    tp, mp = sp(ts)
+    np.testing.assert_allclose(float(mc["loss"]), float(mp["loss"]),
+                               rtol=1e-6)
