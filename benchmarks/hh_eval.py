@@ -44,14 +44,18 @@ def main():
     ap.add_argument("--rnn", action="store_true")
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--episodes", type=int, default=512)
+    ap.add_argument("--train-envs", type=int, default=2048,
+                    help="num_envs the checkpoint was TRAINED with (the "
+                    "TrainState's env fields restore at this batch; only "
+                    "params are used for eval)")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
     kw = {"integrator": args.integrator} if "Physics" in args.env else {}
     env = gpt.make(args.env, **kw)
     B = args.episodes
-    cfg = PPOConfig(num_envs=B, rollout_steps=32, hidden=(args.hidden,) * 2,
-                    shuffle="none")
+    cfg = PPOConfig(num_envs=args.train_envs, rollout_steps=32,
+                    hidden=(args.hidden,) * 2, shuffle="none")
     if args.rnn:
         net, ts = init_rnn_state(env, cfg, jax.random.PRNGKey(args.seed),
                                  hidden=args.hidden)
